@@ -1,0 +1,281 @@
+"""Shared typed expression evaluator with C-like semantics.
+
+One evaluator serves every execution path — the NumPy oracle, the pure-XLA
+(jnp) backend, and the Pallas kernel body — parameterized by the array
+namespace (`xp`) and a tap callback that materializes tensor refs.  This is
+the TPU-native replacement for the reference's per-backend expression
+printers (src/soda/codegen/*): instead of printing C++ per backend, the same
+IR walk *builds the computation* in whichever array language is in scope.
+
+Integer semantics (see ir/types.py for the rationale):
+  * arithmetic in a wide accumulator (int64 for NumPy oracle, int32 on TPU);
+  * `/` and `%` follow C: truncation toward zero, remainder takes the
+    dividend's sign (numpy floor-division is corrected);
+  * values are masked/sign-extended to the declared width ONLY at explicit
+    casts and at stage stores — matching ap_int's exact width-growth
+    behavior for all practical widths.
+Float semantics: float literals are float32 (TPU-native; documented
+deviation from C's double literals), computation in the promoted width, no
+reassociation (the IR tree is evaluated exactly as written).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+from ..ir import expr as ir
+from ..ir.program import StencilProgram
+from ..ir.types import ScalarType, promote
+
+INT32 = ScalarType("int", 32)
+FLOAT32 = ScalarType("float", 32)
+
+
+@dataclasses.dataclass
+class EvalContext:
+    program: StencilProgram
+    xp: Any                                   # numpy or jax.numpy
+    tap: Callable[[str, tuple[int, ...]], Any]  # materialize Ref
+    params: dict[str, Any]
+    int_width: int = 64                        # 64 for oracle, 32 for TPU
+
+    def int_dtype(self, signed: bool = True):
+        if self.int_width == 64:
+            return self.xp.int64 if signed else self.xp.uint64
+        return self.xp.int32 if signed else self.xp.uint32
+
+    def float_dtype(self, width: int):
+        if self.int_width == 32:  # TPU path: no f64
+            return self.xp.float32
+        return {16: self.xp.float16, 32: self.xp.float32, 64: self.xp.float64}[width]
+
+
+def _c_div(xp, a, b):
+    """C integer division: truncation toward zero."""
+    q = xp.floor_divide(a, b)
+    r = a - q * b
+    fix = (r != 0) & ((a < 0) != (b < 0))
+    return q + fix.astype(q.dtype)
+
+
+def _c_mod(xp, a, b):
+    q = _c_div(xp, a, b)
+    return a - q * b
+
+
+def _mask_to(ctx: EvalContext, v, t: ScalarType):
+    """Wrap an integer value (held in the wide accumulator) to declared
+    width with sign extension; floats convert."""
+    xp = ctx.xp
+    if t.is_float:
+        return xp.asarray(v).astype(ctx.float_dtype(t.width))
+    acc = ctx.int_dtype(signed=True)
+    v = xp.asarray(v).astype(acc)
+    if t.width >= ctx.int_width:
+        return v
+    mask = (1 << t.width) - 1
+    v = xp.bitwise_and(v, mask)
+    if t.kind == "int":
+        sign = 1 << (t.width - 1)
+        v = xp.where(xp.bitwise_and(v, sign) != 0, v - (1 << t.width), v)
+    return v.astype(acc)
+
+
+def _to_float(ctx: EvalContext, v, width: int = 32):
+    return ctx.xp.asarray(v).astype(ctx.float_dtype(width))
+
+
+def _trunc_float_to_int(ctx: EvalContext, v, t: ScalarType):
+    xp = ctx.xp
+    v = xp.trunc(xp.asarray(v))
+    v = v.astype(ctx.int_dtype(signed=True))
+    return _mask_to(ctx, v, t)
+
+
+_FLOAT_FNS = {
+    "sqrt": "sqrt", "rsqrt": None, "exp": "exp", "exp2": "exp2",
+    "log": "log", "log2": "log2", "sin": "sin", "cos": "cos",
+    "tan": "tan", "tanh": "tanh", "floor": "floor", "ceil": "ceil",
+    "round": "round", "fabs": "abs",
+}
+
+
+def eval_expr(e: ir.Expr, ctx: EvalContext) -> tuple[Any, ScalarType]:
+    """Evaluate to (array_value, dsl_type).  Integer values are carried in
+    the wide accumulator dtype; floats in their promoted width."""
+    xp = ctx.xp
+    prog = ctx.program
+
+    if isinstance(e, ir.Const):
+        if isinstance(e.value, float):
+            t = e.type or FLOAT32
+            return xp.asarray(e.value, dtype=ctx.float_dtype(t.width)), t
+        t = e.type or INT32
+        return xp.asarray(e.value, dtype=ctx.int_dtype(True)), t
+
+    if isinstance(e, ir.Ref):
+        t = prog.tensors[e.name].type
+        v = ctx.tap(e.name, e.offsets)
+        if t.is_float:
+            return xp.asarray(v).astype(ctx.float_dtype(t.width)), t
+        # widen storage dtype into the accumulator (sign-correct: storage
+        # dtype already carries the sign of the declared type)
+        return xp.asarray(v).astype(ctx.int_dtype(True)), t
+
+    if isinstance(e, ir.ParamRef):
+        p = ctx.params[e.name]
+        v = p[e.indices] if e.indices else p
+        t = prog.params[e.name].type
+        if t.is_float:
+            return xp.asarray(v).astype(ctx.float_dtype(t.width)), t
+        return xp.asarray(v).astype(ctx.int_dtype(True)), t
+
+    if isinstance(e, ir.Var):
+        t = prog.params[e.name].type
+        v = ctx.params[e.name]
+        if t.is_float:
+            return xp.asarray(v).astype(ctx.float_dtype(t.width)), t
+        return xp.asarray(v).astype(ctx.int_dtype(True)), t
+
+    if isinstance(e, ir.Cast):
+        v, vt = eval_expr(e.operand, ctx)
+        t = e.type
+        if t.is_float:
+            return _to_float(ctx, v, t.width), t
+        if vt.is_float:
+            return _trunc_float_to_int(ctx, v, t), t
+        return _mask_to(ctx, v, t), t
+
+    if isinstance(e, ir.UnOp):
+        v, vt = eval_expr(e.operand, ctx)
+        if e.op == "-":
+            return -v, vt
+        if e.op == "+":
+            return v, vt
+        if e.op == "!":
+            return (v == 0).astype(ctx.int_dtype(True)), INT32
+        if e.op == "~":
+            return xp.bitwise_not(v), vt
+        raise ValueError(f"unknown unop {e.op}")
+
+    if isinstance(e, ir.Select):
+        c, _ = eval_expr(e.cond, ctx)
+        a, at = eval_expr(e.on_true, ctx)
+        b, bt = eval_expr(e.on_false, ctx)
+        t = promote(at, bt)
+        a, b = _coerce_pair(ctx, a, at, b, bt, t)
+        return xp.where(c != 0, a, b), t
+
+    if isinstance(e, ir.BinOp):
+        a, at = eval_expr(e.lhs, ctx)
+        b, bt = eval_expr(e.rhs, ctx)
+        op = e.op
+        if op in ("&&", "||"):
+            an = (a != 0)
+            bn = (b != 0)
+            v = (an & bn) if op == "&&" else (an | bn)
+            return v.astype(ctx.int_dtype(True)), INT32
+        if op in ("==", "!=", "<", ">", "<=", ">="):
+            t = promote(at, bt)
+            a, b = _coerce_pair(ctx, a, at, b, bt, t)
+            v = {"==": a == b, "!=": a != b, "<": a < b,
+                 ">": a > b, "<=": a <= b, ">=": a >= b}[op]
+            return v.astype(ctx.int_dtype(True)), INT32
+        if op in ("<<", ">>"):
+            sh = b.astype(ctx.int_dtype(True)) if hasattr(b, "astype") else b
+            if op == "<<":
+                return xp.left_shift(a, sh), at
+            return xp.right_shift(a, sh), at
+        t = promote(at, bt)
+        a, b = _coerce_pair(ctx, a, at, b, bt, t)
+        if op == "+":
+            return a + b, t
+        if op == "-":
+            return a - b, t
+        if op == "*":
+            return a * b, t
+        if op == "/":
+            if t.is_float:
+                return a / b, t
+            return _c_div(xp, a, b), t
+        if op == "%":
+            if t.is_float:
+                return xp.mod(a, b), t
+            return _c_mod(xp, a, b), t
+        if op in ("&", "|", "^"):
+            v = {"&": xp.bitwise_and, "|": xp.bitwise_or, "^": xp.bitwise_xor}[op](a, b)
+            return v, t
+        raise ValueError(f"unknown binop {op}")
+
+    if isinstance(e, ir.Call):
+        vals = [eval_expr(a, ctx) for a in e.args]
+        if e.fn in ("min", "max", "fmin", "fmax"):
+            t = vals[0][1]
+            for _, u in vals[1:]:
+                t = promote(t, u)
+            if e.fn in ("fmin", "fmax") and not t.is_float:
+                t = FLOAT32
+            coerced = [_coerce_to(ctx, v, vt, t) for v, vt in vals]
+            out = coerced[0]
+            f = xp.minimum if e.fn in ("min", "fmin") else xp.maximum
+            for v in coerced[1:]:
+                out = f(out, v)
+            return out, t
+        if e.fn == "abs":
+            v, vt = vals[0]
+            return xp.abs(v), vt
+        if e.fn == "pow":
+            t = promote(promote(vals[0][1], vals[1][1]), FLOAT32)
+            a = _coerce_to(ctx, *vals[0], t)
+            b = _coerce_to(ctx, *vals[1], t)
+            return xp.power(a, b), t
+        if e.fn == "rsqrt":
+            t = promote(vals[0][1], FLOAT32)
+            v = _coerce_to(ctx, *vals[0], t)
+            one = xp.asarray(1.0, dtype=ctx.float_dtype(t.width))
+            return one / xp.sqrt(v), t
+        if e.fn in _FLOAT_FNS:
+            t = promote(vals[0][1], FLOAT32)
+            v = _coerce_to(ctx, *vals[0], t)
+            return getattr(xp, _FLOAT_FNS[e.fn])(v), t
+        raise ValueError(f"unknown function {e.fn}")
+
+    raise TypeError(f"cannot evaluate {e!r}")
+
+
+def _coerce_to(ctx: EvalContext, v, vt: ScalarType, t: ScalarType):
+    if t.is_float and not vt.is_float:
+        return _to_float(ctx, v, t.width)
+    if t.is_float and vt.is_float and vt.width != t.width:
+        return _to_float(ctx, v, t.width)
+    return v
+
+
+def _coerce_pair(ctx, a, at, b, bt, t):
+    return _coerce_to(ctx, a, at, t), _coerce_to(ctx, b, bt, t)
+
+
+def store_cast(ctx: EvalContext, v, vt: ScalarType, t: ScalarType, storage=True):
+    """Cast a computed stage value to its declared type for storing."""
+    xp = ctx.xp
+    if t.is_float:
+        out = _to_float(ctx, v, t.width)
+        return out
+    if vt.is_float:
+        v = _trunc_float_to_int(ctx, v, t)
+    else:
+        v = _mask_to(ctx, v, t)
+    if storage:
+        return v.astype(_storage_dtype(ctx, t))
+    return v
+
+
+def _storage_dtype(ctx: EvalContext, t: ScalarType):
+    xp = ctx.xp
+    if ctx.int_width == 32:
+        # TPU path keeps int32/uint32 storage (narrow int layouts are
+        # inefficient on TPU; masking preserves semantics).
+        return xp.int32 if t.kind == "int" else xp.uint32
+    import numpy as np
+    return t.np_dtype()

@@ -1,0 +1,96 @@
+"""NumPy golden-model interpreter.
+
+TPU-native analog of the reference's generated host-side golden model: the
+generated OpenCL host embeds a naive C++ loop nest over the full grid and
+verifies kernel output element-wise (reference: src/soda/codegen/xilinx/
+host.py per SURVEY.md §2.1/§4; reconstructed — empty reference mount).
+Here the oracle is a standalone interpreter over the IR, so every backend
+(XLA, Pallas, sharded, C++ golden runner) checks against the same semantics.
+
+Border convention: `border: ignore` — out-of-grid taps read zeros, and the
+rim of width radius×sweeps is semantically invalid; comparisons may exclude
+it (all backends share the zero-fill convention, so full-array comparisons
+also pass for single-chip paths).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+from ..ir import expr as ir
+from ..ir.program import StencilProgram
+from .evaluator import EvalContext, eval_expr, store_cast
+
+
+def shifted(a: np.ndarray, offsets: tuple[int, ...]) -> np.ndarray:
+    """out[i] = a[i + off] with zero fill out of bounds."""
+    out = np.zeros_like(a)
+    src = []
+    dst = []
+    for n, off in zip(a.shape, offsets):
+        lo_src = max(off, 0)
+        hi_src = min(n + off, n)
+        if hi_src <= lo_src:
+            return out
+        src.append(slice(lo_src, hi_src))
+        dst.append(slice(lo_src - off, hi_src - off))
+    out[tuple(dst)] = a[tuple(src)]
+    return out
+
+
+def run_once(
+    program: StencilProgram,
+    arrays: dict[str, np.ndarray],
+    params: Mapping[str, np.ndarray],
+) -> None:
+    """Evaluate every stage once (one sweep), updating `arrays` in place."""
+    ctx = EvalContext(
+        program=program,
+        xp=np,
+        tap=lambda name, off: shifted(arrays[name], off),
+        params=dict(params),
+        int_width=64,
+    )
+    for name in program.stage_order():
+        t = program.tensors[name]
+        v, vt = eval_expr(t.expr, ctx)
+        arrays[name] = np.asarray(store_cast(ctx, v, vt, t.type))
+
+
+def run(
+    program: StencilProgram,
+    inputs: Mapping[str, np.ndarray],
+    params: Mapping[str, np.ndarray] | None = None,
+    iterate: int | None = None,
+) -> dict[str, np.ndarray]:
+    """Run the full program (including temporal iteration) on full grids.
+
+    Returns {output_name: array}.  For iterate>1 the single output feeds
+    back into the single input each sweep (reference `iterate` semantics:
+    the stage pipeline is chained N times, SURVEY.md §3(d))."""
+    it = program.iterate if iterate is None else iterate
+    params = dict(params or {})
+    arrays: dict[str, np.ndarray] = {}
+    for n in program.input_names:
+        t = program.tensors[n]
+        a = np.asarray(inputs[n], dtype=t.type.np_dtype())
+        if a.ndim != program.rank:
+            raise ValueError(f"input {n!r} rank {a.ndim} != program rank {program.rank}")
+        arrays[n] = a
+
+    for p in program.params.values():
+        if p.name not in params:
+            raise ValueError(f"missing param {p.name!r}")
+        params[p.name] = np.asarray(params[p.name], dtype=p.type.np_dtype())
+        if tuple(params[p.name].shape) != tuple(p.shape):
+            raise ValueError(
+                f"param {p.name!r} shape {params[p.name].shape} != declared {p.shape}")
+
+    for sweep in range(max(it, 1)):
+        run_once(program, arrays, params)
+        if it > 1 and sweep + 1 < it:
+            arrays[program.input_names[0]] = arrays[program.output_names[0]]
+
+    return {n: arrays[n] for n in program.output_names}

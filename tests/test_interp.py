@@ -1,0 +1,158 @@
+"""NumPy golden-model interpreter tests: independently hand-written loop
+nests as the oracle-of-the-oracle (reference analog: the generated host's
+naive C++ loop nest, SURVEY.md §4)."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from soda_tpu.frontend.parser import parse, parse_file
+from soda_tpu.interp.numpy_interp import run, shifted
+
+SODA = pathlib.Path(__file__).parent / "soda"
+rng = np.random.default_rng(42)
+
+
+def test_shifted_zero_fill():
+    a = np.arange(12.0).reshape(3, 4)
+    s = shifted(a, (1, 0))
+    assert np.array_equal(s[:2], a[1:])
+    assert np.all(s[2] == 0)
+    s = shifted(a, (0, -1))
+    assert np.array_equal(s[:, 1:], a[:, :3])
+    assert np.all(s[:, 0] == 0)
+
+
+def test_blur_uint16_exact():
+    p = parse_file(SODA / "blur.soda")
+    x = rng.integers(0, 65535, (40, 56)).astype(np.uint16)
+    out = run(p, {"input": x})["blur_y"]
+    xi = x.astype(np.int64)
+    xp = np.pad(xi, ((1, 1), (0, 2)))
+    bx = (xp[:, 0:56] + xp[:, 1:57] + xp[:, 2:58]) // 3
+    by = (bx[0:40] + bx[1:41] + bx[2:42]) // 3
+    assert np.array_equal(out, (by & 0xFFFF).astype(np.uint16))
+
+
+def test_jacobi2d_iterate8():
+    p = parse_file(SODA / "jacobi2d.soda")
+    assert p.iterate == 8
+    x = rng.standard_normal((24, 32)).astype(np.float32)
+    out = run(p, {"t0": x})["t1"]
+    a = x.copy()
+    for _ in range(8):
+        ap = np.pad(a, 1)
+        a = ((ap[1:25, 2:34] + ap[2:26, 1:33] + ap[1:25, 1:33]
+              + ap[1:25, 0:32] + ap[0:24, 1:33]) * np.float32(0.2)).astype(np.float32)
+    assert np.allclose(out, a, rtol=1e-6, atol=1e-6)
+
+
+def test_jacobi3d_single_sweep():
+    p = parse_file(SODA / "jacobi3d.soda")
+    x = rng.standard_normal((12, 16, 20)).astype(np.float32)
+    out = run(p, {"t0": x})["t1"]
+    ap = np.pad(x, 1)
+    Z, Y, X = x.shape
+    g = (ap[1:1+Z, 1:1+Y, 1:1+X] + ap[1:1+Z, 1:1+Y, 2:2+X] + ap[1:1+Z, 1:1+Y, 0:X]
+         + ap[1:1+Z, 2:2+Y, 1:1+X] + ap[1:1+Z, 0:Y, 1:1+X]
+         + ap[2:2+Z, 1:1+Y, 1:1+X] + ap[0:Z, 1:1+Y, 1:1+X]) * np.float32(0.142857)
+    assert np.allclose(out, g, rtol=1e-6, atol=1e-6)
+
+
+def test_heat3d_iterate():
+    p = parse_file(SODA / "heat3d.soda")
+    assert p.iterate == 4
+    x = rng.standard_normal((10, 12, 14)).astype(np.float32)
+    out = run(p, {"heat_in": x})["heat_out"]
+    a = x.copy()
+    c = np.float32(0.125)
+    two = np.float32(2.0)
+    for _ in range(4):
+        ap = np.pad(a, 1)
+        Z, Y, X = a.shape
+        ctr = ap[1:1+Z, 1:1+Y, 1:1+X]
+        a = (c * (ap[2:2+Z, 1:1+Y, 1:1+X] - two * ctr + ap[0:Z, 1:1+Y, 1:1+X])
+             + c * (ap[1:1+Z, 2:2+Y, 1:1+X] - two * ctr + ap[1:1+Z, 0:Y, 1:1+X])
+             + c * (ap[1:1+Z, 1:1+Y, 2:2+X] - two * ctr + ap[1:1+Z, 1:1+Y, 0:X])
+             + ctr).astype(np.float32)
+    assert np.allclose(out, a, rtol=1e-5, atol=1e-5)
+
+
+def test_sobel_multistage_casts():
+    p = parse_file(SODA / "sobel2d.soda")
+    img = rng.integers(0, 256, (24, 28)).astype(np.uint16)
+    out = run(p, {"img": img})["mag"]
+    ip = np.pad(img.astype(np.int64), 1)
+    H, W = img.shape
+
+    def at(dy, dx):
+        return ip[1+dy:1+dy+H, 1+dx:1+dx+W]
+
+    gx = at(-1, -1) - at(-1, 1) + 2 * (at(0, -1) - at(0, 1)) + at(1, -1) - at(1, 1)
+    gy = at(-1, -1) - at(1, -1) + 2 * (at(-1, 0) - at(1, 0)) + at(-1, 1) - at(1, 1)
+    # int16 casts wrap
+    gx = ((gx & 0xFFFF) ^ 0x8000) - 0x8000
+    gy = ((gy & 0xFFFF) ^ 0x8000) - 0x8000
+    mag = np.minimum(gx.astype(np.float32) ** 2 + gy.astype(np.float32) ** 2,
+                     np.float32(65535.0))
+    gold = (np.trunc(mag).astype(np.int64) & 0xFFFF).astype(np.uint16)
+    assert np.array_equal(out, gold)
+
+
+def test_denoise2d_two_inputs():
+    p = parse_file(SODA / "denoise2d.soda")
+    u = rng.standard_normal((20, 24)).astype(np.float32)
+    f = rng.standard_normal((20, 24)).astype(np.float32)
+    out = run(p, {"u": u, "f": f})["out"]
+    assert out.shape == u.shape and out.dtype == np.float32
+    assert np.isfinite(out).all()
+
+
+def test_c_division_semantics():
+    # C: -7/2 == -3 (truncation), -7%2 == -1
+    p = parse(
+        "kernel: t\ninput int32: a(8, *)\n"
+        "local int32: q(0,0) = a(0,0) / 2\n"
+        "output int32: r(0,0) = q(0,0) * 100 + a(0,0) % 2\n"
+    )
+    x = np.array([[-7, 7, -8, 5]], dtype=np.int32)
+    out = run(p, {"a": x})["r"]
+    assert out.tolist() == [[-301, 301, -400, 201]]
+
+
+def test_uint_wraparound_on_store():
+    p = parse(
+        "kernel: t\ninput uint8: a(8, *)\n"
+        "output uint8: b(0,0) = a(0,0) + 200\n"
+    )
+    x = np.array([[100, 200]], dtype=np.uint8)
+    out = run(p, {"a": x})["b"]
+    assert out.tolist() == [[44, 144]]  # (300)%256, (400)%256
+
+
+def test_narrow_width_mask():
+    p = parse(
+        "kernel: t\ninput uint4: a(8, *)\n"
+        "output uint4: b(0,0) = a(0,0) + 1\n"
+    )
+    x = np.array([[15, 7]], dtype=np.uint8)
+    out = run(p, {"a": x})["b"]
+    assert out.tolist() == [[0, 8]]
+
+
+def test_iterate_override():
+    p = parse_file(SODA / "jacobi2d.soda")
+    x = rng.standard_normal((16, 16)).astype(np.float32)
+    o1 = run(p, {"t0": x}, iterate=1)["t1"]
+    o2 = run(p, {"t0": x}, iterate=2)["t1"]
+    o12 = run(p, {"t1_as": o1} if False else {"t0": o1}, iterate=1)["t1"]
+    assert np.allclose(o2, o12, rtol=1e-6, atol=1e-6)
+
+
+def test_valid_rim():
+    p = parse_file(SODA / "jacobi2d.soda")
+    assert p.radius() == 1
+    assert p.valid_rim() == 8  # radius 1 × iterate 8
+    b = parse_file(SODA / "blur.soda")
+    assert b.valid_rim() == 2
