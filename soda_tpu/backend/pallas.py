@@ -1,0 +1,308 @@
+"""Pallas TPU backend: lowers a fused stage group to one `pl.pallas_call`.
+
+TPU-native replacement for the reference's HLS dataflow codegen
+(src/soda/codegen/xilinx/hls_kernel.py per SURVEY.md §2.1, reconstructed —
+empty reference mount).  Mapping of the reference's microarchitecture:
+
+  reference (FPGA)                     this backend (TPU)
+  -----------------------------------  -----------------------------------
+  BurstRead/BurstWrite AXI modules     Mosaic grid pipelining: Element-
+                                       indexed halo windows auto-DMA'd
+                                       HBM->VMEM, double-buffered
+  forward modules (FIFO line buffers)  VMEM window halo (block + span)
+  compute modules ×unroll_factor       8×128-wide VPU ops (vectorization
+                                       subsumes spatial unroll)
+  `iterate` pipeline replication       in-kernel fori_loop over fused
+                                       sweeps on a constant-extent buffer
+  hls::stream inter-stage FIFOs        stage values held in VMEM/registers,
+                                       consumers read shifted slices
+
+Hardware rules baked in (verified on v5e): window starts 8-aligned on all
+tiled dims (block sizes are multiples of 8); window sizes on the sublane
+dim 8-aligned; lane dim never tiled or haloed — lane taps are in-kernel
+vector shifts with zero fill (matching the global border convention,
+because the lane dim is never split across blocks).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..interp.evaluator import EvalContext, eval_expr, store_cast
+from ..ir.program import StencilProgram
+from ..plan.planner import GroupPlan, Plan, plan as make_plan
+
+
+def _compute_dtype(program: StencilProgram, name: str):
+    return jnp.float32 if program.tensors[name].type.is_float else jnp.int32
+
+
+def _lane_shift(a: jax.Array, off: int) -> jax.Array:
+    """Zero-fill shift along the last dim: out[..., i] = a[..., i+off].
+
+    Implemented as roll + iota mask rather than pad + slice: Mosaic lowers
+    lane-dim pads of vectors with offset sublane layouts to an unsupported
+    `tpu.concatenate`, while rotate + select is always legal."""
+    if off == 0:
+        return a
+    n = a.shape[-1]
+    rolled = jnp.roll(a, -off, axis=a.ndim - 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+    valid = (idx < n - off) if off > 0 else (idx >= -off)
+    return jnp.where(valid, rolled, jnp.zeros_like(a))
+
+
+def _shift_all(a: jax.Array, offsets: tuple[int, ...]) -> jax.Array:
+    """Zero-fill shift in every dim at constant extent (multi-sweep taps)."""
+    pads = [(max(-o, 0), max(o, 0)) for o in offsets]
+    ap = jnp.pad(a, pads)
+    sl = tuple(
+        slice(o + lo, o + lo + n)
+        for n, o, (lo, _hi) in zip(a.shape, offsets, pads)
+    )
+    return ap[sl]
+
+
+def _build_kernel(program: StencilProgram, g: GroupPlan):
+    """Build the pallas kernel body for a fused group."""
+    rank = program.rank
+    n_in = len(g.external_inputs)
+    n_par = len(program.params)
+    param_names = list(program.params)
+
+    # per-tensor origin (logical coordinate of array index 0) per tiled dim
+    def origin(name: str) -> tuple[int, ...]:
+        if name in g.halo:  # external input: aligned halo
+            return tuple(-g.halo[name][d][0] for d in range(rank - 1))
+        sp = g.spans.get(name, tuple((0, 0) for _ in range(rank)))
+        return tuple(sp[d][0] for d in range(rank - 1))
+
+    def extent(name: str, block) -> tuple[int, ...]:
+        if name in g.halo:
+            return tuple(
+                block[d] + g.halo[name][d][0] + g.halo[name][d][1]
+                for d in range(rank - 1))
+        sp = g.spans.get(name, tuple((0, 0) for _ in range(rank)))
+        return tuple(block[d] - sp[d][0] + sp[d][1] for d in range(rank - 1))
+
+    block = g.block
+
+    def kernel(*refs):
+        in_refs = refs[:n_in]
+        par_refs = refs[n_in:n_in + n_par]
+        out_refs = refs[n_in + n_par:]
+
+        params = {}
+        for name, ref in zip(param_names, par_refs):
+            v = ref[:]
+            shp = program.params[name].shape
+            params[name] = v.reshape(shp) if shp else v.reshape(())
+
+        values: dict[str, jax.Array] = {}
+        for name, ref in zip(g.external_inputs, in_refs):
+            values[name] = ref[:]
+
+        if g.sweeps == 1:
+            # exact-extent evaluation: each stage computed once at
+            # block+span extent; taps slice the parent's larger extent.
+            current_consumer: list[str] = [""]
+
+            def tap(parent: str, off: tuple[int, ...]):
+                c = current_consumer[0]
+                co = origin(c)
+                po = origin(parent)
+                ce = extent(c, block)
+                pv = values[parent]
+                sl = tuple(
+                    slice(co[d] + off[d] - po[d], co[d] + off[d] - po[d] + ce[d])
+                    for d in range(rank - 1)
+                ) + (slice(None),)
+                return _lane_shift(pv[sl], off[-1])
+
+            ctx = EvalContext(program=program, xp=jnp, tap=tap,
+                              params=params, int_width=32)
+            for name in g.stages:
+                t = program.tensors[name]
+                current_consumer[0] = name
+                v, vt = eval_expr(t.expr, ctx)
+                values[name] = store_cast(ctx, v, vt, t.type)
+            for name, ref in zip(g.outputs, out_refs):
+                ref[:] = values[name]
+        else:
+            # constant-extent fused sweeps (single input/output enforced by
+            # program validation): zero-fill taps; invalid values creep one
+            # sweep-span inward per sweep, staying inside the halo.
+            in_name = g.external_inputs[0]
+            out_name = g.outputs[0]
+
+            def tap_const(vals, parent, off):
+                return _shift_all(vals[parent], off)
+
+            def body(_, a):
+                vals = {in_name: a}
+                ctx = EvalContext(
+                    program=program, xp=jnp,
+                    tap=lambda p, off: tap_const(vals, p, off),
+                    params=params, int_width=32)
+                for name in g.stages:
+                    t = program.tensors[name]
+                    v, vt = eval_expr(t.expr, ctx)
+                    vals[name] = store_cast(ctx, v, vt, t.type)
+                return vals[out_name]
+
+            a = jax.lax.fori_loop(0, g.sweeps, body, values[in_name])
+            h = g.halo[in_name]
+            center = tuple(
+                slice(h[d][0], h[d][0] + block[d]) for d in range(rank - 1)
+            ) + (slice(None),)
+            out_refs[0][:] = a[center]
+
+    return kernel
+
+
+def _pad_input(x: jax.Array, halo, block, grid, grid_shape, rank):
+    """Host-pad one external input: halo + block round-up (hi side)."""
+    pads = []
+    for d in range(rank - 1):
+        rounded = grid[d] * block[d]
+        pads.append((halo[d][0], halo[d][1] + (rounded - grid_shape[d])))
+    pads.append((0, 0))
+    return jnp.pad(x, pads)
+
+
+def build_group_fn(program: StencilProgram, g: GroupPlan,
+                   grid_shape: tuple[int, ...], interpret: bool = False):
+    """fn(values: dict, params: dict) -> dict for one fused group call."""
+    rank = program.rank
+    block = g.block
+    X = grid_shape[-1]
+    kernel = _build_kernel(program, g)
+
+    in_specs = []
+    for name in g.external_inputs:
+        h = g.halo[name]
+        win = tuple(block[d] + h[d][0] + h[d][1] for d in range(rank - 1)) + (X,)
+        bdims = tuple(pl.Element(w) for w in win)
+
+        def imap(*gidx, _name=name):
+            return tuple(gidx[d] * block[d] for d in range(rank - 1)) + (0,)
+
+        in_specs.append(pl.BlockSpec(bdims, imap, memory_space=pltpu.VMEM))
+
+    for p in program.params.values():
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    out_block = tuple(block[: rank - 1]) + (X,)
+
+    def out_imap(*gidx):
+        return tuple(gidx) + (0,)
+
+    rounded = tuple(g.grid[d] * block[d] for d in range(rank - 1)) + (X,)
+    out_specs = [
+        pl.BlockSpec(out_block, out_imap, memory_space=pltpu.VMEM)
+        for _ in g.outputs
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct(rounded, _compute_dtype(program, o))
+        for o in g.outputs
+    ]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=g.grid,
+        in_specs=in_specs,
+        out_specs=out_specs[0] if len(out_specs) == 1 else tuple(out_specs),
+        out_shape=out_shapes[0] if len(out_shapes) == 1 else tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * len(g.grid),
+        ),
+        interpret=interpret,
+    )
+
+    def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
+        ops = []
+        for name in g.external_inputs:
+            x = jnp.asarray(values[name], _compute_dtype(program, name))
+            ops.append(_pad_input(x, g.halo[name], block, g.grid, grid_shape, rank))
+        for name in program.params:
+            p = jnp.asarray(params[name])
+            t = program.params[name].type
+            p = p.astype(jnp.float32 if t.is_float else jnp.int32)
+            shp = p.shape
+            if p.ndim < 2:
+                p = p.reshape((1,) * (2 - p.ndim) + shp)
+            ops.append(p)
+        outs = call(*ops)
+        if len(g.outputs) == 1:
+            outs = (outs,)
+        res = {}
+        for name, o in zip(g.outputs, outs):
+            sl = tuple(slice(0, grid_shape[d]) for d in range(rank - 1)) + (slice(None),)
+            res[name] = o[sl]
+        return res
+
+    return fn
+
+
+def build_fn(program: StencilProgram, the_plan: Plan | None = None,
+             grid_shape: tuple[int, ...] | None = None,
+             interpret: bool = False, iterate: int | None = None,
+             **plan_kwargs):
+    """Build a jittable fn(inputs, params) -> outputs for the full program
+    (all groups, all temporal chunks) on a fixed grid shape."""
+    it = max(program.iterate if iterate is None else iterate, 1)
+    if the_plan is None:
+        if grid_shape is None:
+            raise ValueError("need grid_shape or a Plan")
+        the_plan = make_plan(program, grid_shape, sweeps=None if iterate is None else iterate,
+                             **plan_kwargs)
+    grid_shape = the_plan.grid_shape
+    assert len(the_plan.groups) == 1, "round-1 plans are single-group"
+    g = the_plan.groups[0]
+    group_fn = build_group_fn(program, g, grid_shape, interpret=interpret)
+    chunks = max(it // g.sweeps, 1)
+    in_name = program.input_names[0]
+    out_name = program.output_names[0]
+
+    def fn(inputs: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
+        values = dict(inputs)
+        outs = group_fn(values, params)
+        for _ in range(chunks - 1):
+            values = {in_name: outs[out_name]}
+            outs = group_fn(values, params)
+        return outs
+
+    return fn
+
+
+def run(program: StencilProgram, inputs, params=None, *,
+        grid_shape=None, interpret=False, iterate=None, jit=True, **kw):
+    """Execute via Pallas; returns numpy outputs in declared dtypes."""
+    import numpy as np
+
+    params = dict(params or {})
+    if grid_shape is None:
+        grid_shape = tuple(np.asarray(next(iter(inputs.values()))).shape)
+    fn = build_fn(program, grid_shape=grid_shape, interpret=interpret,
+                  iterate=iterate, **kw)
+    if jit:
+        fn = jax.jit(fn)
+    outs = fn({k: jnp.asarray(v) for k, v in inputs.items()}, params)
+    res = {}
+    for n, v in outs.items():
+        t = program.tensors[n].type
+        a = np.asarray(v)
+        if t.is_int and t.needs_mask:
+            a = a & ((1 << t.width) - 1)
+            if t.kind == "int":
+                sign = 1 << (t.width - 1)
+                a = (a ^ sign) - sign
+        res[n] = a.astype(t.np_dtype())
+    return res

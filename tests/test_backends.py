@@ -1,0 +1,132 @@
+"""Backend equivalence tests: XLA backend, Pallas backend (interpret mode on
+the CPU CI; compiled validation runs on real TPU via scripts/tpu_check.py),
+and the generated C++ golden runner, all against the NumPy oracle.
+
+Border contract (`border: ignore`): the rim of width radius×sweeps is
+invalid; interior must match.  Full-array equality additionally holds for
+zero-preserving single-sweep programs (all backends share the zero-fill tap
+convention)."""
+
+import glob
+import pathlib
+import shutil
+
+import numpy as np
+import pytest
+
+from soda_tpu.frontend.parser import parse_file
+from soda_tpu.interp import numpy_interp
+from soda_tpu.backend import xla as xla_backend
+from soda_tpu.backend import pallas as pallas_backend
+from soda_tpu.backend import cpp as cpp_backend
+
+SODA = pathlib.Path(__file__).parent / "soda"
+CORPUS = sorted(glob.glob(str(SODA / "*.soda")))
+SHAPES = {2: (48, 128), 3: (24, 32, 128)}
+rng = np.random.default_rng(11)
+
+
+def make_io(p):
+    ins = {}
+    for n in p.input_names:
+        t = p.tensors[n].type
+        shape = SHAPES[p.rank]
+        if t.is_float:
+            ins[n] = rng.standard_normal(shape).astype(t.np_dtype())
+        else:
+            ins[n] = rng.integers(0, 250, shape).astype(t.np_dtype())
+    ps = {pp.name: rng.standard_normal(pp.shape).astype(pp.type.np_dtype())
+          for pp in p.params.values()}
+    return ins, ps
+
+
+def interior(a, rim):
+    if rim == 0:
+        return a
+    return a[tuple(slice(rim, -rim) for _ in range(a.ndim))]
+
+
+def check(p, got, gold, rtol=1e-4, atol=1e-4):
+    rim = p.valid_rim()
+    for k in gold:
+        g = interior(got[k], rim).astype(np.float64)
+        e = interior(gold[k], rim).astype(np.float64)
+        assert np.allclose(g, e, rtol=rtol, atol=atol), (
+            f"{k}: max diff {np.abs(g - e).max()}")
+
+
+@pytest.mark.parametrize("path", CORPUS, ids=[pathlib.Path(c).stem for c in CORPUS])
+def test_xla_backend_matches_oracle(path):
+    p = parse_file(path)
+    ins, ps = make_io(p)
+    gold = numpy_interp.run(p, ins, ps)
+    got = xla_backend.run(p, ins, ps)
+    check(p, got, gold)
+
+
+@pytest.mark.parametrize("path", CORPUS, ids=[pathlib.Path(c).stem for c in CORPUS])
+def test_pallas_backend_matches_oracle(path):
+    p = parse_file(path)
+    ins, ps = make_io(p)
+    gold = numpy_interp.run(p, ins, ps)
+    # small VMEM budget forces a real multi-block grid even on tiny arrays
+    got = pallas_backend.run(p, ins, ps, vmem_budget=4 * 2**20, interpret=True)
+    check(p, got, gold)
+
+
+@pytest.mark.parametrize("path", CORPUS, ids=[pathlib.Path(c).stem for c in CORPUS])
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+def test_cpp_golden_bit_exact(path, tmp_path):
+    p = parse_file(path)
+    ins, ps = make_io(p)
+    # smaller grids: the naive C++ loop nest is O(cells × taps)
+    ins = {k: v[tuple(slice(0, 24) for _ in range(v.ndim))] for k, v in ins.items()}
+    gold = numpy_interp.run(p, ins, ps)
+    got = cpp_backend.compile_and_run(p, ins, ps, workdir=tmp_path)
+    for k in gold:
+        assert np.array_equal(got[k], gold[k]), f"{k} not bit-exact vs C++"
+
+
+def test_pallas_sweep_chunking():
+    """iterate chunked into multiple kernel calls must equal full fusion."""
+    p = parse_file(SODA / "jacobi2d.soda")
+    x = rng.standard_normal((48, 128)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    a = pallas_backend.run(p, {"t0": x}, interpret=True, vmem_budget=4 * 2**20)
+    # force 2-sweep chunks (4 calls)
+    from soda_tpu.plan.planner import plan as make_plan
+    pl2 = make_plan(p, (48, 128), sweeps=2, vmem_budget=4 * 2**20)
+    assert pl2.groups[0].sweeps == 2
+    fn = pallas_backend.build_fn(p, the_plan=pl2, interpret=True)
+    import jax.numpy as jnp
+    outs = fn({"t0": jnp.asarray(x)}, {})
+    got = {"t1": np.asarray(outs["t1"])}
+    check(p, got, gold)
+    check(p, a, gold)
+
+
+def test_pallas_block_override():
+    p = parse_file(SODA / "jacobi3d.soda")
+    x = rng.standard_normal((24, 32, 128)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    got = pallas_backend.run(p, {"t0": x}, interpret=True,
+                             block_override=(8, 16, 128))
+    check(p, got, gold)
+
+
+def test_zero_preserving_full_match():
+    """Linear stencils match the oracle on the FULL grid incl. rim."""
+    p = parse_file(SODA / "jacobi3d.soda")
+    x = rng.standard_normal((24, 32, 128)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    got = pallas_backend.run(p, {"t0": x}, interpret=True, vmem_budget=4 * 2**20)
+    assert np.allclose(got["t1"], gold["t1"], rtol=1e-4, atol=1e-5)
+
+
+def test_nondivisible_grid_shapes():
+    """Grid extents not divisible by the block must round-trip correctly."""
+    p = parse_file(SODA / "jacobi2d.soda")
+    x = rng.standard_normal((50, 131)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    got = pallas_backend.run(p, {"t0": x}, interpret=True, vmem_budget=2 * 2**20)
+    check(p, got, gold)

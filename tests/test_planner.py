@@ -1,0 +1,96 @@
+"""Planner tests: span math, halo alignment, VMEM budgeting, sweep chunking
+(the VMEM analog of the reference's reuse-buffer minimality math,
+SURVEY.md §3(b))."""
+
+import pathlib
+
+import pytest
+
+from soda_tpu.frontend.parser import parse, parse_file
+from soda_tpu.plan.planner import group_spans, plan
+
+SODA = pathlib.Path(__file__).parent / "soda"
+
+
+def test_group_spans_blur():
+    p = parse_file(SODA / "blur.soda")
+    spans = group_spans(p, p.stage_order(), p.output_names)
+    assert spans["blur_y"] == ((0, 0), (0, 0))
+    assert spans["blur_x"] == ((-1, 1), (0, 0))
+    # input: blur_x span (-1,1),(0,0) composed with taps (0,0..2)
+    assert spans["input"] == ((-1, 1), (0, 2))
+
+
+def test_group_spans_multistage_denoise():
+    p = parse_file(SODA / "denoise3d.soda")
+    spans = group_spans(p, p.stage_order(), p.output_names)
+    # unew reads w at radius 1, w reads grad at 0, grad reads u at radius 1
+    assert spans["w"] == ((-1, 1), (-1, 1), (-1, 1))
+    assert spans["u"] == ((-2, 2), (-2, 2), (-2, 2))
+    assert spans["rhs"] == ((0, 0), (0, 0), (0, 0))
+
+
+def test_halo_alignment_rules():
+    p = parse_file(SODA / "jacobi3d.soda")
+    pl = plan(p, (64, 64, 128))
+    g = pl.groups[0]
+    h = g.halo["t0"]
+    assert h[0] == (1, 1)        # leading dim: exact radius
+    assert h[1] == (8, 8)        # sublane dim: rounded to 8
+    assert h[2] == (0, 0)        # lane dim: never haloed
+    assert all(b % 8 == 0 for b in g.block[:-1])
+    assert g.block[-1] == 128    # lane dim untiled
+
+
+def test_sweeps_fused_and_halo_scaled():
+    p = parse_file(SODA / "jacobi2d.soda")  # iterate 8, radius 1
+    pl = plan(p, (512, 512))
+    g = pl.groups[0]
+    assert g.sweeps == 8
+    assert g.halo["t0"][0] == (8, 8)  # 8 sweeps × radius 1, already 8-aligned
+
+
+def test_vmem_budget_respected():
+    p = parse_file(SODA / "jacobi3d.soda")
+    for budget in (2 * 2**20, 8 * 2**20, 16 * 2**20):
+        pl = plan(p, (256, 256, 256), vmem_budget=budget)
+        assert pl.groups[0].vmem_bytes <= budget
+
+
+def test_sweep_chunking_on_halo_blowup():
+    # iterate so large the halo would dwarf any feasible block
+    p = parse(
+        "kernel: t\niterate: 64\ninput float: a(64, *)\n"
+        "output float: b(0,0) = (a(-1,0) + a(1,0) + a(0,0)) / 3.0f\n"
+    )
+    pl = plan(p, (64, 128), vmem_budget=1 * 2**20, max_compute_waste=1.5)
+    g = pl.groups[0]
+    assert g.sweeps < 64
+    assert 64 % g.sweeps == 0
+    assert any("reduced fused sweeps" in n or "adjusted" in n for n in pl.notes)
+
+
+def test_traffic_accounting_improves_with_fusion():
+    p = parse_file(SODA / "jacobi2d.soda")
+    full = plan(p, (1024, 1024))
+    single = plan(p, (1024, 1024), sweeps=1)
+    b_full = full.groups[0].hbm_bytes_per_call / full.groups[0].useful_cells_per_call
+    b_single = (single.groups[0].hbm_bytes_per_call
+                / single.groups[0].useful_cells_per_call)
+    assert b_full < b_single  # temporal fusion reduces bytes/cell-update
+
+
+def test_plan_json_roundtrip():
+    p = parse_file(SODA / "denoise3d.soda")
+    pl = plan(p, (64, 64, 128))
+    import json
+    j = json.loads(json.dumps(pl.to_json()))
+    assert j["program"] == "denoise3d"
+    assert j["groups"][0]["stages"] == ["grad", "w", "unew"]
+    assert j["groups"][0]["bytes_per_cell_update"] > 0
+
+
+def test_infeasible_raises():
+    p = parse_file(SODA / "jacobi3d.soda")
+    with pytest.raises(ValueError, match="no feasible block"):
+        plan(p, (4096, 4096, 4096), vmem_budget=64 * 1024)
