@@ -222,6 +222,9 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
         out_shape=out_shapes[0] if len(out_shapes) == 1 else tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * len(g.grid),
+            # v5e physical VMEM is 128 MiB (probed empirically; the plan's
+            # own budget is the real constraint — lift Mosaic's default cap)
+            vmem_limit_bytes=128 * 2**20,
         ),
         interpret=interpret,
     )

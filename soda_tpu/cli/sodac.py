@@ -1,0 +1,297 @@
+"""`sodac` — the CLI driver.
+
+Keeps the reference's CLI shape (src/sodac per SURVEY.md §2.1 L1,
+reconstructed — empty mount): positional `.soda` file, DSL-overriding knob
+flags (--unroll-factor/--tile-size/--iterate/--burst-width/--dram-in/--dram-out,
+CLI beats DSL), artifact-target flags.  The Xilinx artifact targets are
+replaced by TPU-native ones:
+
+  --cpp-golden FILE     emit the native C++ golden runner source (the
+                        reference's generated-host golden model, standalone)
+  --pallas-driver FILE  emit a self-contained Python driver that lowers the
+                        program through the Pallas backend and runs it
+  --dump-plan [FILE]    emit the VMEM tiling plan as JSON (the analog of
+                        the reference's logged reuse-buffer/FIFO plan)
+  --report              print the compile report (roofline analytics)
+  --run                 execute on random input, verify vs the NumPy oracle
+  --benchmark           time the compiled kernel (see --help caveats)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+
+import numpy as np
+
+logger = logging.getLogger("soda_tpu")
+
+
+def _parse_int_list(s: str) -> tuple[int, ...]:
+    return tuple(int(x) for x in s.replace("x", ",").split(",") if x)
+
+
+def make_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="sodac",
+        description="soda_tpu: TPU-native stencil compiler for the .soda DSL",
+    )
+    ap.add_argument("soda_src", help="input .soda file")
+    # DSL-overriding knobs (reference-compatible; CLI beats DSL)
+    ap.add_argument("--unroll-factor", type=int, default=None,
+                    help="accepted for compatibility; vectorization is "
+                         "native on TPU (VPU lanes)")
+    ap.add_argument("--tile-size", type=_parse_int_list, default=None,
+                    help="override input tile size, e.g. 512,512")
+    ap.add_argument("--iterate", type=int, default=None)
+    ap.add_argument("--burst-width", type=int, default=None,
+                    help="accepted for compatibility; DMA widths are "
+                         "planned by Mosaic")
+    ap.add_argument("--dram-in", type=str, default=None)
+    ap.add_argument("--dram-out", type=str, default=None)
+    ap.add_argument("--border", type=str, default=None, choices=["ignore"])
+    ap.add_argument("--cluster", type=str, default=None, choices=["none"])
+    # grid / execution
+    ap.add_argument("--grid-shape", type=_parse_int_list, default=None,
+                    help="concrete extents for '*' dims, e.g. 512,512,512")
+    ap.add_argument("--backend", choices=["pallas", "xla", "numpy"],
+                    default="pallas")
+    ap.add_argument("--block", type=_parse_int_list, default=None,
+                    help="override planner block shape")
+    ap.add_argument("--vmem-budget", type=int, default=64 * 2**20)
+    ap.add_argument("--sweeps", type=int, default=None,
+                    help="fused temporal sweeps per kernel call")
+    ap.add_argument("--interpret", action="store_true",
+                    help="run Pallas in interpreter mode (no TPU needed)")
+    ap.add_argument("--mesh", type=_parse_int_list, default=None,
+                    help="shard over a device mesh, e.g. --mesh 2,4")
+    ap.add_argument("--compile-cache", type=str, default=None,
+                    help="persistent XLA compilation cache directory")
+    # artifact targets
+    ap.add_argument("--cpp-golden", type=str, default=None, metavar="FILE")
+    ap.add_argument("--pallas-driver", type=str, default=None, metavar="FILE")
+    ap.add_argument("--dump-plan", type=str, nargs="?", const="-",
+                    default=None, metavar="FILE")
+    ap.add_argument("--report", action="store_true")
+    ap.add_argument("--run", action="store_true")
+    ap.add_argument("--benchmark", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("-v", "--verbose", action="count", default=0)
+    return ap
+
+
+def _overrides(args) -> dict:
+    ov = {}
+    for k in ("unroll_factor", "iterate", "burst_width", "border", "cluster"):
+        v = getattr(args, k)
+        if v is not None:
+            ov[k] = v
+    if args.tile_size is not None:
+        ov["tile_size"] = args.tile_size
+    if args.dram_in is not None:
+        ov["dram_in"] = _parse_int_list(args.dram_in)
+    if args.dram_out is not None:
+        ov["dram_out"] = _parse_int_list(args.dram_out)
+    return ov
+
+
+def _grid_shape(program, args) -> tuple[int, ...]:
+    if args.grid_shape is not None:
+        if len(args.grid_shape) != program.rank:
+            raise SystemExit(
+                f"--grid-shape rank {len(args.grid_shape)} != program rank "
+                f"{program.rank}")
+        return args.grid_shape
+    # derive from the input tile size; '*' dims default to 512
+    t = program.tensors[program.input_names[0]]
+    return tuple(512 if d is None else d for d in (t.tile_size or ()))
+
+
+def _random_inputs(program, grid_shape, seed):
+    rng = np.random.default_rng(seed)
+    ins = {}
+    for n in program.input_names:
+        t = program.tensors[n].type
+        if t.is_float:
+            ins[n] = rng.standard_normal(grid_shape).astype(t.np_dtype())
+        else:
+            hi = min(1 << min(t.width, 16), 1 << 15)
+            ins[n] = rng.integers(0, hi, grid_shape).astype(t.np_dtype())
+    ps = {p.name: rng.standard_normal(p.shape).astype(p.type.np_dtype())
+          for p in program.params.values()}
+    return ins, ps
+
+
+_DRIVER_TEMPLATE = '''#!/usr/bin/env python
+"""Auto-generated by soda_tpu: standalone Pallas driver for {name!r}."""
+import numpy as np
+from soda_tpu.frontend.parser import parse
+from soda_tpu.backend import pallas as pallas_backend
+
+SODA_SRC = {src!r}
+GRID_SHAPE = {grid_shape!r}
+
+program = parse(SODA_SRC)
+
+def run(inputs, params=None, **kw):
+    return pallas_backend.run(program, inputs, params,
+                              grid_shape=GRID_SHAPE, **kw)
+
+if __name__ == "__main__":
+    rng = np.random.default_rng(0)
+    ins = {{}}
+    for n in program.input_names:
+        t = program.tensors[n].type
+        ins[n] = (rng.standard_normal(GRID_SHAPE).astype(t.np_dtype())
+                  if t.is_float else
+                  rng.integers(0, 255, GRID_SHAPE).astype(t.np_dtype()))
+    ps = {{p.name: rng.standard_normal(p.shape).astype(p.type.np_dtype())
+          for p in program.params.values()}}
+    outs = run(ins, ps)
+    for k, v in outs.items():
+        print(k, v.shape, v.dtype, float(np.asarray(v, dtype=np.float64).sum()))
+'''
+
+
+def main(argv=None) -> int:
+    args = make_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose >= 2 else
+        logging.INFO if args.verbose == 1 else logging.WARNING,
+        format="%(levelname)s %(name)s: %(message)s")
+
+    from ..frontend.parser import parse_file
+    from ..plan.planner import plan as make_plan
+    from ..utils.report import analyze
+
+    if args.compile_cache:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    program = parse_file(args.soda_src, overrides=_overrides(args))
+    logger.info("parsed program:\n%s", program.describe())
+    grid_shape = _grid_shape(program, args)
+
+    the_plan = make_plan(
+        program, grid_shape, vmem_budget=args.vmem_budget,
+        sweeps=args.sweeps, block_override=args.block)
+    logger.info("%s", the_plan.describe())
+
+    did_something = False
+
+    if args.dump_plan is not None:
+        did_something = True
+        j = json.dumps(the_plan.to_json(), indent=2)
+        if args.dump_plan == "-":
+            print(j)
+        else:
+            with open(args.dump_plan, "w") as f:
+                f.write(j)
+
+    if args.report:
+        did_something = True
+        print(analyze(the_plan).pretty())
+
+    if args.cpp_golden:
+        did_something = True
+        from ..backend import cpp
+        with open(args.cpp_golden, "w") as f:
+            f.write(cpp.generate(program, grid_shape))
+        print(f"wrote C++ golden runner: {args.cpp_golden}")
+
+    if args.pallas_driver:
+        did_something = True
+        import pathlib
+        src = pathlib.Path(args.soda_src).read_text()
+        with open(args.pallas_driver, "w") as f:
+            f.write(_DRIVER_TEMPLATE.format(
+                name=program.name, src=src, grid_shape=tuple(grid_shape)))
+        print(f"wrote Pallas driver: {args.pallas_driver}")
+
+    if args.run or args.benchmark:
+        did_something = True
+        ins, ps = _random_inputs(program, grid_shape, args.seed)
+        from ..interp import numpy_interp
+
+        t0 = time.perf_counter()
+        if args.mesh:
+            from ..parallel.mesh import run_sharded
+            outs = run_sharded(program, ins, ps, axis_sizes=args.mesh)
+        elif args.backend == "pallas":
+            from ..backend import pallas as pb
+            outs = pb.run(program, ins, ps, grid_shape=grid_shape,
+                          interpret=args.interpret,
+                          vmem_budget=args.vmem_budget,
+                          block_override=args.block)
+        elif args.backend == "xla":
+            from ..backend import xla as xb
+            outs = xb.run(program, ins, ps)
+        else:
+            outs = numpy_interp.run(program, ins, ps)
+        wall = time.perf_counter() - t0
+        print(f"executed {program.name} on {grid_shape} "
+              f"({args.backend}{' mesh' if args.mesh else ''}): {wall:.3f}s "
+              f"(incl. compile)")
+
+        if args.run and args.backend != "numpy":
+            gold = numpy_interp.run(program, ins, ps)
+            rim = program.valid_rim()
+            ok = True
+            for k in gold:
+                a = outs[k].astype(np.float64)
+                b = gold[k].astype(np.float64)
+                if rim:
+                    sl = tuple(slice(rim, -rim) for _ in range(a.ndim))
+                    a, b = a[sl], b[sl]
+                if not np.allclose(a, b, rtol=1e-4, atol=1e-4):
+                    ok = False
+                    print(f"MISMATCH {k}: max diff {np.abs(a - b).max()}")
+            print("verification vs NumPy oracle:", "PASS" if ok else "FAIL")
+            if not ok:
+                return 1
+
+        if args.benchmark:
+            import jax
+            from ..backend import pallas as pb
+            import jax.numpy as jnp
+            fn = jax.jit(pb.build_fn(
+                program, grid_shape=grid_shape, interpret=args.interpret,
+                vmem_budget=args.vmem_budget, block_override=args.block))
+            jins = {k: jnp.asarray(v) for k, v in ins.items()}
+            jps = {k: jnp.asarray(v) for k, v in ps.items()}
+            out = fn(jins, jps)
+            jax.block_until_ready(out)
+            reps = 5
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(jins, jps)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / reps
+            updates = math_prod(grid_shape) * max(program.iterate, 1)
+            rep = analyze(the_plan)
+            print(f"benchmark: {dt*1e3:.3f} ms/call  "
+                  f"{updates/dt/1e9:.2f} GCell-updates/s (wall-clock; "
+                  f"UNRELIABLE on timing-emulated devices)")
+            print(f"analytic:  {rep.bytes_per_cell_update:.3f} B/update -> "
+                  f"{rep.est_gcells_per_s_v5e:.1f} GCell-updates/s at v5e "
+                  f"819 GB/s ({100*rep.roofline_fraction:.0f}% of single-sweep "
+                  f"roofline)")
+
+    if not did_something:
+        print(analyze(the_plan).pretty())
+    return 0
+
+
+def math_prod(t):
+    out = 1
+    for x in t:
+        out *= x
+    return out
+
+
+if __name__ == "__main__":
+    sys.exit(main())

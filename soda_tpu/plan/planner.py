@@ -159,7 +159,7 @@ def plan(
     program: StencilProgram,
     grid_shape: tuple[int, ...],
     *,
-    vmem_budget: int = 12 * 2**20,
+    vmem_budget: int = 64 * 2**20,
     max_compute_waste: float = 3.0,
     sweeps: int | None = None,
     block_override: tuple[int, ...] | None = None,
@@ -235,9 +235,13 @@ def plan(
                 w *= block[d] + halo[i][d][0] + halo[i][d][1]
             win_bytes += w * dtype_bytes
         out_bytes = len(outputs) * math.prod(block) * dtype_bytes
-        # intermediates: every group tensor materializes at (block+span) extent
+        # intermediates: non-output stage tensors materialize once at
+        # (block+span) extent (they are kernel-local values, not pipeline
+        # buffers — only windows/outputs are double-buffered by Mosaic)
         inter = 0
         for s in stages:
+            if s in outputs:
+                continue
             sp = spans.get(s, tuple((0, 0) for _ in range(rank)))
             e = 1
             for d in range(rank):
@@ -245,7 +249,7 @@ def plan(
                 hi = sp[d][1] + (nf - 1) * out_span[d][1]
                 e *= block[d] + lo + hi
             inter += e * dtype_bytes
-        vmem = 2 * (win_bytes + out_bytes) + 2 * inter
+        vmem = 2 * (win_bytes + out_bytes) + inter
         # analytic HBM traffic for one kernel call (nf sweeps)
         ncalls_blocks = math.prod(grid)
         reads = win_bytes * ncalls_blocks

@@ -1,0 +1,96 @@
+"""Compile/performance reporting: the TPU analog of the reference's HLS
+report surface (II/latency/resource from Vivado logs — SURVEY.md §5
+'tracing' row).  Reports block shapes, halo widths, VMEM bytes, analytic
+HBM traffic, roofline fraction, and compile wall-clock.
+
+Roofline math (BASELINE.md): per-sweep ideal traffic for a stencil with
+full on-chip reuse is one read + one write per cell (8 B/cell at f32);
+achieved fraction = ideal_bytes / planned_bytes.  Wall-clock on the local
+timing-emulated device is NOT used for perf claims; the planner's byte
+counts are exact by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Any
+
+from ..plan.planner import Plan
+
+V5E_HBM_GBPS = 819.0  # public v5e spec
+
+
+@dataclasses.dataclass
+class CompileReport:
+    program: str
+    grid_shape: tuple[int, ...]
+    plan: dict
+    bytes_per_cell_update: float
+    ideal_bytes_per_cell_update: float
+    roofline_fraction: float
+    est_gcells_per_s_v5e: float
+    compile_seconds: float | None = None
+
+    def to_json(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["grid_shape"] = list(self.grid_shape)
+        return d
+
+    def pretty(self) -> str:
+        out = [f"=== soda_tpu compile report: {self.program} {self.grid_shape} ==="]
+        for g in self.plan["groups"]:
+            out.append(
+                f"  kernel: stages={g['stages']} sweeps={g['sweeps']} "
+                f"block={tuple(g['block'])} grid={tuple(g['grid'])}")
+            out.append(
+                f"    vmem={g['vmem_bytes']/2**20:.2f} MiB  "
+                f"traffic={g['bytes_per_cell_update']:.3f} B/cell-update  "
+                f"compute-extent={g['compute_extent_ratio']:.2f}x")
+        out.append(
+            f"  analytic: {self.bytes_per_cell_update:.3f} B/cell-update vs "
+            f"ideal {self.ideal_bytes_per_cell_update:.1f} -> "
+            f"{100*self.roofline_fraction:.1f}% of single-sweep HBM roofline")
+        out.append(
+            f"  est. v5e throughput (819 GB/s HBM): "
+            f"{self.est_gcells_per_s_v5e:.1f} GCell-updates/s")
+        if self.compile_seconds is not None:
+            out.append(f"  compile wall-clock: {self.compile_seconds:.2f}s")
+        return "\n".join(out)
+
+
+def analyze(plan: Plan, dtype_bytes: int = 4) -> CompileReport:
+    pj = plan.to_json()
+    total_bytes = sum(g["hbm_bytes_per_call"] for g in pj["groups"])
+    total_useful = max(sum(g["useful_cells_per_call"] for g in pj["groups"]), 1)
+    # chained chunk calls repeat the group traffic
+    chunks = 1
+    for n in pj["notes"]:
+        if "kernel call(s)" in n:
+            chunks = int(n.split("as ")[1].split(" kernel")[0])
+    bpc = chunks * total_bytes / (chunks * total_useful)
+    ideal = 2 * dtype_bytes  # one read + one write per cell per sweep
+    frac = ideal / bpc if bpc > 0 else 0.0
+    est = V5E_HBM_GBPS / bpc  # GB/s ÷ B/cell-update = Gcell-update/s
+    return CompileReport(
+        program=pj["program"],
+        grid_shape=tuple(pj["grid_shape"]),
+        plan=pj,
+        bytes_per_cell_update=bpc,
+        ideal_bytes_per_cell_update=float(ideal),
+        roofline_fraction=frac,
+        est_gcells_per_s_v5e=est,
+    )
+
+
+def time_compile(fn, *args) -> tuple[Any, float]:
+    """AOT-lower and compile a jitted fn, returning (compiled, seconds) —
+    the 'compile wall-clock' metric (the reference's hours-long Vivado
+    HLS/P&R flow collapses to seconds here, SURVEY.md §6)."""
+    import jax
+
+    t0 = time.perf_counter()
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    return compiled, time.perf_counter() - t0
