@@ -70,12 +70,24 @@ def _shift_all(a: jax.Array, offsets: tuple[int, ...]) -> jax.Array:
     return ap[sl]
 
 
+def _group_params(program: StencilProgram, g: GroupPlan) -> list[str]:
+    """Param names referenced by the group's stage expressions."""
+    from ..ir import expr as ir_expr
+
+    used: dict[str, None] = {}
+    for s in g.stages:
+        for n in ir_expr.walk(program.tensors[s].expr):
+            if isinstance(n, (ir_expr.ParamRef, ir_expr.Var)):
+                used.setdefault(n.name, None)
+    return list(used)
+
+
 def _build_kernel(program: StencilProgram, g: GroupPlan):
     """Build the pallas kernel body for a fused group."""
     rank = program.rank
     n_in = len(g.external_inputs)
-    n_par = len(program.params)
-    param_names = list(program.params)
+    param_names = _group_params(program, g)
+    n_par = len(param_names)
 
     # per-tensor origin (logical coordinate of array index 0) per tiled dim
     def origin(name: str) -> tuple[int, ...]:
@@ -104,6 +116,7 @@ def _build_kernel(program: StencilProgram, g: GroupPlan):
             v = ref[:]
             shp = program.params[name].shape
             params[name] = v.reshape(shp) if shp else v.reshape(())
+        del par_refs
 
         values: dict[str, jax.Array] = {}
         for name, ref in zip(g.external_inputs, in_refs):
@@ -196,7 +209,8 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
 
         in_specs.append(pl.BlockSpec(bdims, imap, memory_space=pltpu.VMEM))
 
-    for p in program.params.values():
+    group_param_names = _group_params(program, g)
+    for _ in group_param_names:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     out_block = tuple(block[: rank - 1]) + (X,)
@@ -234,7 +248,7 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
         for name in g.external_inputs:
             x = jnp.asarray(values[name], _compute_dtype(program, name))
             ops.append(_pad_input(x, g.halo[name], block, g.grid, grid_shape, rank))
-        for name in program.params:
+        for name in group_param_names:
             p = jnp.asarray(params[name])
             t = program.params[name].type
             p = p.astype(jnp.float32 if t.is_float else jnp.int32)
@@ -267,19 +281,25 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
         the_plan = make_plan(program, grid_shape, sweeps=None if iterate is None else iterate,
                              **plan_kwargs)
     grid_shape = the_plan.grid_shape
-    assert len(the_plan.groups) == 1, "round-1 plans are single-group"
-    g = the_plan.groups[0]
-    group_fn = build_group_fn(program, g, grid_shape, interpret=interpret)
-    chunks = max(it // g.sweeps, 1)
+    group_fns = [
+        build_group_fn(program, g, grid_shape, interpret=interpret)
+        for g in the_plan.groups
+    ]
+    chunks = max(it // the_plan.groups[0].sweeps, 1) \
+        if len(the_plan.groups) == 1 else 1
     in_name = program.input_names[0]
     out_name = program.output_names[0]
 
     def fn(inputs: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
         values = dict(inputs)
-        outs = group_fn(values, params)
+        for g, gfn in zip(the_plan.groups, group_fns):
+            values.update(gfn(values, params))
+        outs = {n: values[n] for n in program.output_names}
         for _ in range(chunks - 1):
             values = {in_name: outs[out_name]}
-            outs = group_fn(values, params)
+            for g, gfn in zip(the_plan.groups, group_fns):
+                values.update(gfn(values, params))
+            outs = {n: values[n] for n in program.output_names}
         return outs
 
     return fn

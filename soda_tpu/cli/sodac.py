@@ -70,6 +70,11 @@ def make_parser() -> argparse.ArgumentParser:
                     help="shard over a device mesh, e.g. --mesh 2,4")
     ap.add_argument("--compile-cache", type=str, default=None,
                     help="persistent XLA compilation cache directory")
+    ap.add_argument("--tcse", action="store_true",
+                    help="computation-reuse rewrite (DAC'20 tcse analog): "
+                         "hoist shifted repeated partial sums into stages; "
+                         "reassociates float sums and widens the "
+                         "border-invalid rim")
     # artifact targets
     ap.add_argument("--cpp-golden", type=str, default=None, metavar="FILE")
     ap.add_argument("--pallas-driver", type=str, default=None, metavar="FILE")
@@ -173,6 +178,11 @@ def main(argv=None) -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     program = parse_file(args.soda_src, overrides=_overrides(args))
+    if args.tcse:
+        from ..optimize import tcse
+        before = tcse.count_adds(program)
+        program = tcse.apply(program)
+        logger.info("tcse: %d adds -> %d", before, tcse.count_adds(program))
     logger.info("parsed program:\n%s", program.describe())
     grid_shape = _grid_shape(program, args)
 

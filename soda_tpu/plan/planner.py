@@ -16,6 +16,10 @@ minimal buffering.  On TPU the same window-span arithmetic becomes:
     spatial unroll: `unroll_factor` is subsumed by 8×128-wide vector ops);
   * temporal `iterate` becomes in-kernel fused sweeps over a constant-extent
     VMEM buffer with halo sweeps×span (SODA's cascaded pipeline, §3(d));
+  * multi-stage dataflow becomes producer/consumer stage fusion into one
+    kernel while the combined halo fits the VMEM budget, else the DAG is
+    split into chained kernels through HBM (SODA's dataflow modules ↔
+    kernel groups);
   * block sizing maximizes useful-cells/HBM-byte under the VMEM budget —
     the analog of SODA's minimal-buffer theorem, inverted: buffer size is
     fixed (VMEM), minimize traffic.
@@ -118,11 +122,9 @@ def group_spans(program: StencilProgram, stages: list[str],
     for name in reversed(stages):
         s = spans.get(name)
         if s is None:
-            continue  # dead stage within group (shouldn't happen)
+            continue  # stage not needed by this group's outputs
         t = program.tensors[name]
         for parent, offs in t.window().items():
-            lo = [0] * rank
-            hi = [0] * rank
             base = spans.get(parent, tuple((0, 0) for _ in range(rank)))
             lo = [b[0] for b in base]
             hi = [b[1] for b in base]
@@ -155,53 +157,50 @@ def _align_halo(span: Span, sweeps: int, sweep_span: Span, rank: int
     return tuple(out)
 
 
-def plan(
+def _group_io(program: StencilProgram, members: list[str]
+              ) -> tuple[list[str], list[str]]:
+    """(external_inputs, outputs) of a candidate stage set: inputs are
+    tensors read from outside; outputs are members visible outside (program
+    outputs, or read by a stage not in the set)."""
+    mset = set(members)
+    ext: dict[str, None] = {}
+    for s in members:
+        for p in program.tensors[s].parents():
+            if p not in mset:
+                ext.setdefault(p, None)
+    cons = program.consumers()
+    outs = [s for s in members
+            if program.tensors[s].is_output
+            or any(c not in mset for c in cons[s])]
+    return list(ext), outs
+
+
+def _plan_group(
     program: StencilProgram,
+    members: list[str],
     grid_shape: tuple[int, ...],
     *,
-    vmem_budget: int = 64 * 2**20,
-    max_compute_waste: float = 3.0,
-    sweeps: int | None = None,
-    block_override: tuple[int, ...] | None = None,
-) -> Plan:
-    """Build an execution plan for `program` on a full grid of `grid_shape`.
-
-    Round-1 fusion policy: fuse ALL stages into one group when the combined
-    halo fits the VMEM budget (the corpus always does); temporal sweeps are
-    fully fused unless the halo would eat more than `max_compute_waste` of
-    the block, in which case sweeps are chunked and the kernel is invoked
-    iterate/chunk times (SODA's planner heuristic for iterate halo blowup,
-    SURVEY.md §7 'hard parts')."""
-    if len(grid_shape) != program.rank:
-        raise ValueError(f"grid rank {len(grid_shape)} != program rank {program.rank}")
+    vmem_budget: int,
+    max_compute_waste: float,
+    nf: int,
+    block_override: tuple[int, ...] | None,
+) -> GroupPlan | None:
+    """Pick the best block for one fused stage group; None if infeasible."""
     rank = program.rank
-    notes: list[str] = []
+    ext_inputs, outputs = _group_io(program, members)
+    spans = group_spans(program, members, outputs)
 
-    stages = program.stage_order()
-    outputs = program.output_names
-    ext_inputs = program.input_names
-    it = max(program.iterate, 1)
+    if nf > 1:
+        out_span = program.cumulative_span(program.output_names[0])
+    else:
+        out_span = tuple((0, 0) for _ in range(rank))
 
-    spans = group_spans(program, stages, outputs)
-    out_span = program.cumulative_span(outputs[0])
-    for o in outputs[1:]:
-        s2 = program.cumulative_span(o)
-        out_span = tuple(
-            (min(a[0], b[0]), max(a[1], b[1])) for a, b in zip(out_span, s2))
-
-    # -- choose fused sweep count ------------------------------------------
-    want_sweeps = it if sweeps is None else sweeps
-    nf = want_sweeps
-
-    def halo_for(nf: int) -> dict[str, tuple[tuple[int, int], ...]]:
-        return {
-            i: _align_halo(spans.get(i, tuple((0, 0) for _ in range(rank))),
-                           nf, out_span, rank)
-            for i in ext_inputs
-        }
-
-    # -- block search -------------------------------------------------------
-    dtype_bytes = 4  # f32 / int32 compute path
+    halo = {
+        i: _align_halo(spans.get(i, tuple((0, 0) for _ in range(rank))),
+                       nf, out_span, rank)
+        for i in ext_inputs
+    }
+    dtype_bytes = 4
 
     def candidates():
         if block_override is not None:
@@ -215,19 +214,13 @@ def plan(
                 for by in (256, 192, 128, 96, 64, 48, 32, 16, 8):
                     yield (bz, by, grid_shape[2])
         else:
-            raise ValueError(f"rank {rank} not supported by the planner (2D/3D only)")
+            raise ValueError(
+                f"rank {rank} not supported by the planner (2D/3D only)")
 
-    def evaluate(block, nf):
-        halo = halo_for(nf)
-        # padded problem dims (tiled dims rounded up to block)
-        padded = []
+    def evaluate(block):
         grid = []
         for d in range(rank - 1):
-            g = _round_up(grid_shape[d], block[d]) // block[d]
-            grid.append(g)
-            padded.append(g * block[d])
-        padded.append(grid_shape[-1])
-        # VMEM: input windows + out blocks double-buffered; stage intermediates once
+            grid.append(_round_up(grid_shape[d], block[d]) // block[d])
         win_bytes = 0
         for i in ext_inputs:
             w = 1
@@ -235,11 +228,8 @@ def plan(
                 w *= block[d] + halo[i][d][0] + halo[i][d][1]
             win_bytes += w * dtype_bytes
         out_bytes = len(outputs) * math.prod(block) * dtype_bytes
-        # intermediates: non-output stage tensors materialize once at
-        # (block+span) extent (they are kernel-local values, not pipeline
-        # buffers — only windows/outputs are double-buffered by Mosaic)
         inter = 0
-        for s in stages:
+        for s in members:
             if s in outputs:
                 continue
             sp = spans.get(s, tuple((0, 0) for _ in range(rank)))
@@ -250,58 +240,38 @@ def plan(
                 e *= block[d] + lo + hi
             inter += e * dtype_bytes
         vmem = 2 * (win_bytes + out_bytes) + inter
-        # analytic HBM traffic for one kernel call (nf sweeps)
-        ncalls_blocks = math.prod(grid)
-        reads = win_bytes * ncalls_blocks
-        writes = out_bytes * ncalls_blocks
+        nblocks = math.prod(grid)
+        reads = win_bytes * nblocks
+        writes = out_bytes * nblocks
         useful = math.prod(grid_shape) * nf * max(len(outputs), 1)
-        # compute waste: largest constant-extent sweep buffer vs block
-        max_ext = 1
-        for d in range(rank):
+        max_ext = math.prod(block)
+        if ext_inputs:
             i0 = ext_inputs[0]
-            max_ext *= block[d] + halo[i0][d][0] + halo[i0][d][1]
+            max_ext = 1
+            for d in range(rank):
+                max_ext *= block[d] + halo[i0][d][0] + halo[i0][d][1]
         waste = max_ext / math.prod(block)
-        return dict(halo=halo, grid=tuple(grid), vmem=vmem,
-                    traffic=reads + writes, useful=useful, waste=waste,
-                    padded=tuple(padded))
+        return dict(grid=tuple(grid), vmem=vmem, traffic=reads + writes,
+                    useful=useful, waste=waste)
 
     best = None
-    while True:
-        for block in candidates():
-            if any(block[d] > _round_up(grid_shape[d], 8) for d in range(rank - 1)):
-                continue
-            ev = evaluate(block, nf)
-            if ev["vmem"] > vmem_budget:
-                continue
-            if ev["waste"] > max_compute_waste and nf > 1:
-                continue
-            bpc = ev["traffic"] / ev["useful"]
-            key = (bpc, -math.prod(block))
-            if best is None or key < best[0]:
-                best = (key, block, ev)
-        if best is not None:
-            break
-        if nf > 1:
-            nf = max(1, nf // 2)
-            notes.append(f"halo blowup: reduced fused sweeps to {nf}")
+    for block in candidates():
+        if any(block[d] > _round_up(grid_shape[d], 8) for d in range(rank - 1)):
             continue
-        raise ValueError(
-            f"no feasible block for grid {grid_shape} under vmem budget "
-            f"{vmem_budget} (program {program.name})")
-
+        ev = evaluate(block)
+        if ev["vmem"] > vmem_budget:
+            continue
+        if ev["waste"] > max_compute_waste and nf > 1:
+            continue
+        bpc = ev["traffic"] / ev["useful"]
+        key = (bpc, -math.prod(block))
+        if best is None or key < best[0]:
+            best = (key, block, ev)
+    if best is None:
+        return None
     _, block, ev = best
-    if nf < it:
-        if it % nf != 0:
-            # fall back to largest divisor of it not exceeding nf
-            d = nf
-            while it % d != 0:
-                d -= 1
-            nf = d
-            ev = evaluate(block, nf)
-            notes.append(f"adjusted fused sweeps to divisor {nf} of iterate {it}")
-
-    group = GroupPlan(
-        stages=stages,
+    return GroupPlan(
+        stages=list(members),
         external_inputs=ext_inputs,
         outputs=outputs,
         spans=spans,
@@ -309,18 +279,96 @@ def plan(
         sweep_span=out_span,
         block=block,
         grid=ev["grid"],
-        halo=ev["halo"],
+        halo=halo,
         vmem_bytes=ev["vmem"],
         hbm_bytes_per_call=ev["traffic"],
         useful_cells_per_call=ev["useful"],
         compute_extent_ratio=ev["waste"],
     )
+
+
+def plan(
+    program: StencilProgram,
+    grid_shape: tuple[int, ...],
+    *,
+    vmem_budget: int = 64 * 2**20,
+    max_compute_waste: float = 3.0,
+    sweeps: int | None = None,
+    block_override: tuple[int, ...] | None = None,
+) -> Plan:
+    """Build an execution plan for `program` on a full grid of `grid_shape`.
+
+    Fusion policy: fuse ALL stages into one kernel when the combined halo
+    fits the VMEM budget; otherwise split the stage DAG greedily (in topo
+    order) into chained kernel groups through HBM — the analog of SODA's
+    multi-module dataflow when on-chip resources run out.  Temporal sweeps
+    are fully fused unless the halo would eat more than `max_compute_waste`
+    of the block, in which case sweeps are chunked and the kernel chain is
+    invoked iterate/chunk times (the reference planner's iterate-halo-blowup
+    heuristic, SURVEY.md §7 'hard parts')."""
+    if len(grid_shape) != program.rank:
+        raise ValueError(
+            f"grid rank {len(grid_shape)} != program rank {program.rank}")
+    notes: list[str] = []
+    stages = program.stage_order()
+    it = max(program.iterate, 1)
+
+    def whole(nf):
+        return _plan_group(
+            program, stages, grid_shape, vmem_budget=vmem_budget,
+            max_compute_waste=max_compute_waste, nf=nf,
+            block_override=block_override)
+
+    # 1) whole-program fusion at the requested sweep count, backing off
+    #    sweeps on halo blowup
+    nf = it if sweeps is None else sweeps
+    g = whole(nf)
+    while g is None and nf > 1:
+        nf = max(1, nf // 2)
+        while it % nf != 0:
+            nf -= 1
+        notes.append(f"halo blowup: reduced fused sweeps to {nf}")
+        g = whole(nf)
+    if g is not None:
+        notes.append(
+            f"iterate={it} executed as {it // nf} kernel call(s) × {nf} fused sweeps")
+        return Plan(program.name, program.rank, [g], tuple(grid_shape), notes)
+
+    # 2) split the stage DAG into chained groups (iterate>1 cannot split:
+    #    the feedback loop needs the whole pipeline per sweep)
+    if it > 1:
+        raise ValueError(
+            f"no feasible block for grid {grid_shape} under vmem budget "
+            f"{vmem_budget} (program {program.name}, iterate={it})")
+    groups: list[GroupPlan] = []
+    cur: list[str] = []
+    cur_plan: GroupPlan | None = None
+    for s in stages:
+        trial = cur + [s]
+        gp = _plan_group(
+            program, trial, grid_shape, vmem_budget=vmem_budget,
+            max_compute_waste=max_compute_waste, nf=1,
+            block_override=block_override)
+        if gp is not None:
+            cur, cur_plan = trial, gp
+            continue
+        if cur_plan is None:
+            raise ValueError(
+                f"stage {s!r} alone does not fit vmem budget {vmem_budget} "
+                f"on grid {grid_shape}")
+        groups.append(cur_plan)
+        cur = [s]
+        cur_plan = _plan_group(
+            program, cur, grid_shape, vmem_budget=vmem_budget,
+            max_compute_waste=max_compute_waste, nf=1,
+            block_override=block_override)
+        if cur_plan is None:
+            raise ValueError(
+                f"stage {s!r} alone does not fit vmem budget {vmem_budget} "
+                f"on grid {grid_shape}")
+    if cur_plan is not None:
+        groups.append(cur_plan)
     notes.append(
-        f"iterate={it} executed as {it // nf} kernel call(s) × {nf} fused sweeps")
-    return Plan(
-        program_name=program.name,
-        rank=rank,
-        groups=[group],
-        grid_shape=tuple(grid_shape),
-        notes=notes,
-    )
+        f"VMEM pressure: split {len(stages)} stages into {len(groups)} "
+        f"chained kernel groups")
+    return Plan(program.name, program.rank, groups, tuple(grid_shape), notes)

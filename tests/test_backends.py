@@ -130,3 +130,28 @@ def test_nondivisible_grid_shapes():
     gold = numpy_interp.run(p, {"t0": x})
     got = pallas_backend.run(p, {"t0": x}, interpret=True, vmem_budget=2 * 2**20)
     check(p, got, gold)
+
+
+def test_pallas_multi_group_chain():
+    """Split plan (chained kernels through HBM) must match the oracle."""
+    from soda_tpu.plan.planner import plan as make_plan
+    from soda_tpu.frontend.parser import parse
+    from tests.test_planner import _chain3d_src
+
+    p = parse(_chain3d_src())
+    shape = (24, 32, 512)
+    x = rng.standard_normal(shape).astype(np.float32)
+    gold = numpy_interp.run(p, {"a": x})
+    pl = make_plan(p, shape, vmem_budget=4 * 2**20)
+    assert len(pl.groups) > 1
+    import jax.numpy as jnp
+    fn = pallas_backend.build_fn(p, the_plan=pl, interpret=True)
+    outs = fn({"a": jnp.asarray(x)}, {})
+    got = {k: np.asarray(v) for k, v in outs.items()}
+    check(p, got, gold)
+    # and the fused single-group plan gives the same answer
+    pl1 = make_plan(p, shape, vmem_budget=64 * 2**20)
+    assert len(pl1.groups) == 1
+    fn1 = pallas_backend.build_fn(p, the_plan=pl1, interpret=True)
+    got1 = {k: np.asarray(v) for k, v in fn1({"a": jnp.asarray(x)}, {}).items()}
+    check(p, got1, gold)

@@ -92,5 +92,38 @@ def test_plan_json_roundtrip():
 
 def test_infeasible_raises():
     p = parse_file(SODA / "jacobi3d.soda")
-    with pytest.raises(ValueError, match="no feasible block"):
+    with pytest.raises(ValueError, match="does not fit vmem budget"):
         plan(p, (4096, 4096, 4096), vmem_budget=64 * 1024)
+    # iterate>1 cannot split the feedback loop across groups
+    pj = parse_file(SODA / "jacobi2d.soda")
+    with pytest.raises(ValueError, match="no feasible block"):
+        plan(pj, (4096, 4096), vmem_budget=64 * 1024)
+
+
+def _chain3d_src(n_stages=6):
+    src = "kernel: chain3d\ninput float: a(64, 64, *)\n"
+    prev = "a"
+    for i in range(n_stages):
+        nm = f"s{i}"
+        src += (f"local float: {nm}(0,0,0) = ({prev}(-2,0,0) + {prev}(2,0,0)"
+                f" + {prev}(0,-2,0) + {prev}(0,2,0) + {prev}(0,0,-2)"
+                f" + {prev}(0,0,2) + {prev}(0,0,0)) * 0.14f\n")
+        prev = nm
+    src += f"output float: out(0,0,0) = {prev}(0,0,0)\n"
+    return src
+
+
+def test_multi_group_split_under_pressure():
+    """Tight VMEM budget forces a deep stage chain into chained kernels."""
+    p = parse(_chain3d_src())
+    pl = plan(p, (64, 64, 512), vmem_budget=4 * 2**20)
+    assert len(pl.groups) > 1
+    # every stage appears exactly once across groups
+    allst = [s for g in pl.groups for s in g.stages]
+    assert sorted(allst) == sorted(p.stage_order())
+    # chained: later groups consume earlier groups' outputs
+    produced = set(p.input_names)
+    for g in pl.groups:
+        assert set(g.external_inputs) <= produced
+        produced |= set(g.outputs)
+    assert set(p.output_names) <= produced
