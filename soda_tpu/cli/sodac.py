@@ -61,7 +61,7 @@ def make_parser() -> argparse.ArgumentParser:
                     default="pallas")
     ap.add_argument("--block", type=_parse_int_list, default=None,
                     help="override planner block shape")
-    ap.add_argument("--vmem-budget", type=int, default=64 * 2**20)
+    ap.add_argument("--vmem-budget", type=int, default=96 * 2**20)
     ap.add_argument("--sweeps", type=int, default=None,
                     help="fused temporal sweeps per kernel call")
     ap.add_argument("--interpret", action="store_true",

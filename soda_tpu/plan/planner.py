@@ -60,14 +60,16 @@ class GroupPlan:
     grid: tuple[int, ...]                # grid over tiled dims (all but last)
     halo: dict[str, tuple[tuple[int, int], ...]]  # aligned host-pad per external input
     vmem_bytes: int
-    hbm_bytes_per_call: int              # analytic traffic (incl. halo re-reads)
+    hbm_bytes_per_call: int              # analytic traffic (incl. halo re-reads + pad copies)
     useful_cells_per_call: int
     compute_extent_ratio: float          # VPU overwork vs useful cells
+    strategy: str = "windows"            # "windows" | "linebuffer"
 
     def describe(self) -> str:
         eff = self.useful_cells_per_call * 8 / max(self.hbm_bytes_per_call, 1)
         return (
-            f"group(stages={self.stages}, sweeps={self.sweeps}, block={self.block}, "
+            f"group(stages={self.stages}, {self.strategy}, sweeps={self.sweeps}, "
+            f"block={self.block}, "
             f"grid={self.grid}, vmem={self.vmem_bytes/2**20:.2f}MiB, "
             f"traffic={self.hbm_bytes_per_call/max(self.useful_cells_per_call,1):.2f}B/cell-update, "
             f"compute_waste={self.compute_extent_ratio:.2f}x, roofline_frac={min(eff,99):.2f})"
@@ -243,6 +245,18 @@ def _plan_group(
         nblocks = math.prod(grid)
         reads = win_bytes * nblocks
         writes = out_bytes * nblocks
+        # host-pad copy traffic: every input with a non-zero halo is
+        # materialized as a padded copy (read original + write padded)
+        # once per kernel call — real HBM bytes, counted honestly
+        pad_bytes = 0
+        for i in ext_inputs:
+            if any(halo[i][d][0] or halo[i][d][1] for d in range(rank)):
+                orig = math.prod(grid_shape)
+                padded = 1
+                for d in range(rank - 1):
+                    padded *= grid[d] * block[d] + halo[i][d][0] + halo[i][d][1]
+                padded *= grid_shape[-1]
+                pad_bytes += (orig + padded) * dtype_bytes
         useful = math.prod(grid_shape) * nf * max(len(outputs), 1)
         max_ext = math.prod(block)
         if ext_inputs:
@@ -251,10 +265,12 @@ def _plan_group(
             for d in range(rank):
                 max_ext *= block[d] + halo[i0][d][0] + halo[i0][d][1]
         waste = max_ext / math.prod(block)
-        return dict(grid=tuple(grid), vmem=vmem, traffic=reads + writes,
+        return dict(grid=tuple(grid), vmem=vmem,
+                    traffic=reads + writes + pad_bytes,
                     useful=useful, waste=waste)
 
     best = None
+    strategy = "windows"
     for block in candidates():
         if any(block[d] > _round_up(grid_shape[d], 8) for d in range(rank - 1)):
             continue
@@ -266,10 +282,47 @@ def _plan_group(
         bpc = ev["traffic"] / ev["useful"]
         key = (bpc, -math.prod(block))
         if best is None or key < best[0]:
-            best = (key, block, ev)
+            best = (key, block, ev, "windows")
+
+    # -- line-buffer z-march (rank-3, single sweep): Blocked slabs over the
+    #    leading dim with R carried planes in persistent VMEM scratch —
+    #    no halo re-reads, no host-pad copies (the VMEM analog of SODA's
+    #    line buffer, one-read-per-cell) --------------------------------
+    if rank == 3 and nf == 1 and block_override is None:
+        Z, Y, X = grid_shape
+        rz_lo = max((-spans[i][0][0] for i in ext_inputs), default=0)
+        rz_hi = max((spans[i][0][1] for i in ext_inputs), default=0)
+        plane = Y * X * dtype_bytes
+        for bz in (8, 16, 24, 32, 48, 64):
+            # one-block lookahead: the high halo must fit in the next block
+            if Z % bz != 0 or bz < rz_hi:
+                continue
+            G = Z // bz
+            block = (bz, Y, X)
+            blk_bytes = bz * plane
+            slab_bytes = (bz + rz_lo + rz_hi) * plane
+            # every external input is carried at the canonical slab span
+            carry_bytes = (bz + rz_lo) * plane * len(ext_inputs) if rz_lo else 0
+            vmem = (2 * blk_bytes * len(ext_inputs)
+                    + 2 * blk_bytes * len(outputs)
+                    + carry_bytes
+                    + slab_bytes * (len(ext_inputs) + len(members) + 1))
+            if vmem > vmem_budget:
+                continue
+            reads = (G + 1) * blk_bytes * len(ext_inputs)
+            writes = Z * plane * len(outputs)
+            useful = Z * Y * X * max(len(outputs), 1)
+            waste = slab_bytes / blk_bytes
+            bpc = (reads + writes) / useful
+            key = (bpc, -bz)
+            if best is None or key < best[0]:
+                best = (key, block,
+                        dict(grid=(G + 1,), vmem=vmem, traffic=reads + writes,
+                             useful=useful, waste=waste), "linebuffer")
+
     if best is None:
         return None
-    _, block, ev = best
+    _, block, ev, strategy = best
     return GroupPlan(
         stages=list(members),
         external_inputs=ext_inputs,
@@ -279,11 +332,13 @@ def _plan_group(
         sweep_span=out_span,
         block=block,
         grid=ev["grid"],
-        halo=halo,
+        halo=halo if strategy == "windows" else {
+            i: tuple((0, 0) for _ in range(rank)) for i in ext_inputs},
         vmem_bytes=ev["vmem"],
         hbm_bytes_per_call=ev["traffic"],
         useful_cells_per_call=ev["useful"],
         compute_extent_ratio=ev["waste"],
+        strategy=strategy,
     )
 
 
@@ -291,7 +346,7 @@ def plan(
     program: StencilProgram,
     grid_shape: tuple[int, ...],
     *,
-    vmem_budget: int = 64 * 2**20,
+    vmem_budget: int = 96 * 2**20,
     max_compute_waste: float = 3.0,
     sweeps: int | None = None,
     block_override: tuple[int, ...] | None = None,
@@ -320,8 +375,8 @@ def plan(
             block_override=block_override)
 
     # 1) whole-program fusion at the requested sweep count, backing off
-    #    sweeps on halo blowup
-    nf = it if sweeps is None else sweeps
+    #    sweeps on halo blowup (fused sweeps can never exceed iterate)
+    nf = it if sweeps is None else max(1, min(sweeps, it))
     g = whole(nf)
     while g is None and nf > 1:
         nf = max(1, nf // 2)

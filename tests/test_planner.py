@@ -32,14 +32,27 @@ def test_group_spans_multistage_denoise():
 
 def test_halo_alignment_rules():
     p = parse_file(SODA / "jacobi3d.soda")
-    pl = plan(p, (64, 64, 128))
+    # block_override forces the windows strategy (linebuffer has no halos)
+    pl = plan(p, (64, 64, 128), block_override=(8, 32, 128))
     g = pl.groups[0]
+    assert g.strategy == "windows"
     h = g.halo["t0"]
     assert h[0] == (1, 1)        # leading dim: exact radius
     assert h[1] == (8, 8)        # sublane dim: rounded to 8
     assert h[2] == (0, 0)        # lane dim: never haloed
     assert all(b % 8 == 0 for b in g.block[:-1])
     assert g.block[-1] == 128    # lane dim untiled
+
+
+def test_linebuffer_chosen_for_3d_single_sweep():
+    p = parse_file(SODA / "jacobi3d.soda")
+    pl = plan(p, (512, 512, 512))
+    g = pl.groups[0]
+    assert g.strategy == "linebuffer"
+    bpc = g.hbm_bytes_per_call / g.useful_cells_per_call
+    assert bpc <= 8.25  # >= 97% of the 8 B/cell single-sweep roofline
+    # no host-pad copies: halos all zero
+    assert all(h == ((0, 0),) * 3 for h in g.halo.values())
 
 
 def test_sweeps_fused_and_halo_scaled():
