@@ -77,6 +77,13 @@ def make_parser() -> argparse.ArgumentParser:
                          "border-invalid rim")
     # artifact targets
     ap.add_argument("--cpp-golden", type=str, default=None, metavar="FILE")
+    # reference-compatible artifact spellings: emit the C++ golden pair so
+    # flows that expected --xocl-* outputs still get compilable C++
+    ap.add_argument("--xocl-kernel", type=str, default=None, metavar="FILE")
+    ap.add_argument("--xocl-host", type=str, default=None, metavar="FILE")
+    ap.add_argument("--xocl-header", type=str, default=None, metavar="FILE")
+    ap.add_argument("--profile", type=str, default=None, metavar="DIR",
+                    help="write a jax.profiler trace of --run/--benchmark")
     ap.add_argument("--pallas-driver", type=str, default=None, metavar="FILE")
     ap.add_argument("--dump-plan", type=str, nargs="?", const="-",
                     default=None, metavar="FILE")
@@ -206,12 +213,34 @@ def main(argv=None) -> int:
         did_something = True
         print(analyze(the_plan).pretty())
 
-    if args.cpp_golden:
+    if args.cpp_golden or args.xocl_kernel or args.xocl_host:
         did_something = True
         from ..backend import cpp
-        with open(args.cpp_golden, "w") as f:
-            f.write(cpp.generate(program, grid_shape))
-        print(f"wrote C++ golden runner: {args.cpp_golden}")
+        src = cpp.generate(program, grid_shape)
+        for path, banner in ((args.cpp_golden, None),
+                             (args.xocl_kernel,
+                              "// --xocl-kernel compatibility artifact: the TPU\n"
+                              "// rebuild has no HLS kernel; this is the golden\n"
+                              "// loop nest with identical semantics.\n"),
+                             (args.xocl_host, None)):
+            if path:
+                with open(path, "w") as f:
+                    if banner:
+                        f.write(banner)
+                    f.write(src)
+                print(f"wrote C++ golden runner: {path}")
+
+    if args.xocl_header:
+        did_something = True
+        lines = [f"// generated by soda_tpu for kernel `{program.name}`",
+                 "#pragma once"]
+        for d, n in enumerate(grid_shape):
+            lines.append(f"#define SODA_DIM_{d} {n}")
+        lines.append(f"#define SODA_ITERATE {max(program.iterate, 1)}")
+        lines.append(f"#define SODA_VALID_RIM {program.valid_rim()}")
+        with open(args.xocl_header, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"wrote header: {args.xocl_header}")
 
     if args.pallas_driver:
         did_something = True
@@ -226,6 +255,13 @@ def main(argv=None) -> int:
         did_something = True
         ins, ps = _random_inputs(program, grid_shape, args.seed)
         from ..interp import numpy_interp
+
+        profile_ctx = None
+        if args.profile:
+            import contextlib
+            import jax
+            profile_ctx = jax.profiler.trace(args.profile)
+            profile_ctx.__enter__()
 
         t0 = time.perf_counter()
         if args.mesh:
@@ -290,6 +326,10 @@ def main(argv=None) -> int:
                   f"{rep.est_gcells_per_s_v5e:.1f} GCell-updates/s at v5e "
                   f"819 GB/s ({100*rep.roofline_fraction:.0f}% of single-sweep "
                   f"roofline)")
+
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+            print(f"profiler trace written to {args.profile}")
 
     if not did_something:
         print(analyze(the_plan).pretty())

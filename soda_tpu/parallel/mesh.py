@@ -146,7 +146,24 @@ def build_sharded_fn(
                 x = halo_exchange(x, d, lo, hi, ax)
             ext[n] = x
 
-        ctx_tap_arrays = ext
+        if local_backend == "pallas":
+            # per-device Pallas kernels on the halo-extended shard: the
+            # extended shape is static at trace time, so the planner runs
+            # per shard exactly as on a single chip
+            from ..backend import pallas as pallas_backend
+
+            ext_shape = tuple(next(iter(ext.values())).shape)
+            pfn = pallas_backend.build_fn(
+                program, grid_shape=ext_shape, iterate=nf,
+                interpret=interpret)
+            outs_full = pfn(ext, params)
+            out = {}
+            for n in out_names:
+                x = outs_full[n]
+                for d, (lo, hi, _ax) in halos.items():
+                    x = jax.lax.slice_in_dim(x, lo, x.shape[d] - hi, axis=d)
+                out[n] = x
+            return out
 
         def sweep(arrs):
             ctx = EvalContext(
@@ -203,6 +220,8 @@ def run_sharded(
     dims: Sequence[int] | None = None,
     iterate: int | None = None,
     sweeps_per_exchange: int | None = None,
+    local_backend: str = "xla",
+    interpret: bool = False,
     jit: bool = True,
 ):
     """Convenience wrapper: shard inputs over a mesh, run, gather numpy."""
@@ -213,7 +232,8 @@ def run_sharded(
     grid_shape = tuple(np.asarray(next(iter(inputs.values()))).shape)
     fn = build_sharded_fn(
         program, mesh, dims=dims, iterate=iterate,
-        sweeps_per_exchange=sweeps_per_exchange, grid_shape=grid_shape)
+        sweeps_per_exchange=sweeps_per_exchange, grid_shape=grid_shape,
+        local_backend=local_backend, interpret=interpret)
     if jit:
         fn = jax.jit(fn)
     params = {k: jnp.asarray(v) for k, v in (params or {}).items()}

@@ -1,0 +1,105 @@
+"""CLI tests: drive sodac's main() in-process (CPU platform via conftest).
+
+Mirrors the reference's CLI surface checks (flag precedence, artifact
+emission) — SURVEY.md §2.1 L1."""
+
+import json
+import pathlib
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from soda_tpu.cli.sodac import main
+
+SODA = pathlib.Path(__file__).parent / "soda"
+
+
+def test_report(capsys):
+    rc = main([str(SODA / "jacobi3d.soda"), "--grid-shape", "64,64,128",
+               "--report"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "compile report: jacobi3d" in out
+    assert "B/cell-update" in out
+    assert "roofline" in out
+
+
+def test_dump_plan_json(capsys, tmp_path):
+    f = tmp_path / "plan.json"
+    rc = main([str(SODA / "blur.soda"), "--grid-shape", "64,128",
+               "--dump-plan", str(f)])
+    assert rc == 0
+    j = json.loads(f.read_text())
+    assert j["program"] == "blur"
+    assert j["groups"][0]["stages"] == ["blur_x", "blur_y"]
+
+
+def test_run_interpret_verifies(capsys):
+    rc = main([str(SODA / "blur.soda"), "--grid-shape", "48,128",
+               "--run", "--interpret"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "verification vs NumPy oracle: PASS" in out
+
+
+def test_run_xla_backend(capsys):
+    rc = main([str(SODA / "jacobi2d.soda"), "--grid-shape", "32,64",
+               "--run", "--backend", "xla"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PASS" in out
+
+
+def test_mesh_run(capsys):
+    rc = main([str(SODA / "jacobi2d.soda"), "--grid-shape", "64,64",
+               "--run", "--mesh", "8"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PASS" in out
+
+
+def test_cli_override_beats_dsl(capsys, tmp_path):
+    f = tmp_path / "plan.json"
+    rc = main([str(SODA / "jacobi2d.soda"), "--grid-shape", "64,64",
+               "--iterate", "2", "--dump-plan", str(f)])
+    assert rc == 0
+    j = json.loads(f.read_text())
+    assert j["groups"][0]["sweeps"] == 2  # DSL said 8; CLI wins
+
+
+def test_tcse_flag(capsys, tmp_path):
+    f = tmp_path / "plan.json"
+    rc = main([str(SODA / "seidel2d.soda"), "--grid-shape", "64,128",
+               "--tcse", "--dump-plan", str(f)])
+    assert rc == 0
+    j = json.loads(f.read_text())
+    assert any("__cse" in s for s in j["groups"][0]["stages"])
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+def test_xocl_compat_artifacts_compile(tmp_path):
+    k = tmp_path / "kernel.cpp"
+    h = tmp_path / "header.h"
+    rc = main([str(SODA / "blur.soda"), "--grid-shape", "24,32",
+               "--xocl-kernel", str(k), "--xocl-header", str(h)])
+    assert rc == 0
+    assert "SODA_VALID_RIM" in h.read_text()
+    subprocess.run(["g++", "-O2", "-std=c++17", "-o", str(tmp_path / "x"),
+                    str(k)], check=True, capture_output=True)
+
+
+def test_rank_mismatch_exits_nonzero():
+    with pytest.raises(SystemExit):
+        main([str(SODA / "jacobi3d.soda"), "--grid-shape", "64,64",
+              "--report"])
+
+
+def test_grid_shape_from_tile_size(capsys, tmp_path):
+    # no --grid-shape: derived from the input tile size ('*' -> 512)
+    f = tmp_path / "plan.json"
+    rc = main([str(SODA / "blur.soda"), "--dump-plan", str(f)])
+    assert rc == 0
+    j = json.loads(f.read_text())
+    assert j["grid_shape"] == [2000, 512]

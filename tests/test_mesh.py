@@ -115,3 +115,23 @@ def test_sharded_heat3d_iterate4():
     gold = numpy_interp.run(p, {"heat_in": x})
     got = run_sharded(p, {"heat_in": x}, axis_sizes=[8], dims=[0])
     check(p, got, gold)
+
+
+def test_sharded_pallas_local_backend():
+    """Per-device Pallas kernels under shard_map (interpret on CPU sim)."""
+    p = parse_file(SODA / "jacobi3d.soda")
+    x = rng.standard_normal((16, 32, 128)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    got = run_sharded(p, {"t0": x}, axis_sizes=[4], dims=[0],
+                      local_backend="pallas", interpret=True)
+    check(p, got, gold)
+
+
+def test_sharded_pallas_iterate():
+    p = parse_file(SODA / "jacobi2d.soda")
+    x = rng.standard_normal((64, 96)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    got = run_sharded(p, {"t0": x}, axis_sizes=[4], dims=[0],
+                      local_backend="pallas", interpret=True,
+                      sweeps_per_exchange=2)
+    check(p, got, gold)
