@@ -44,6 +44,12 @@ def _compute_dtype(program: StencilProgram, name: str):
     return jnp.float32 if program.tensors[name].type.is_float else jnp.int32
 
 
+def _io_dtype(program: StencilProgram, name: str):
+    """HBM storage dtype: narrow ints in 16-bit containers (halves HBM
+    traffic vs int32; the reference streams uint16 at 2 B/cell)."""
+    return program.tensors[name].type.tpu_storage_dtype()
+
+
 def _lane_shift(a: jax.Array, off: int) -> jax.Array:
     """Zero-fill shift along the last dim: out[..., i] = a[..., i+off].
 
@@ -154,7 +160,7 @@ def _build_kernel(program: StencilProgram, g: GroupPlan):
                 v, vt = eval_expr(t.expr, ctx)
                 values[name] = store_cast(ctx, v, vt, t.type)
             for name, ref in zip(g.outputs, out_refs):
-                ref[:] = values[name]
+                ref[:] = values[name].astype(ref.dtype)
         else:
             # constant-extent fused sweeps (single input/output enforced by
             # program validation): zero-fill taps; invalid values creep one
@@ -164,6 +170,11 @@ def _build_kernel(program: StencilProgram, g: GroupPlan):
 
             def tap_const(vals, parent, off):
                 return _shift_all(vals[parent], off)
+
+            # fori_loop carry dtype must be loop-invariant: widen the
+            # storage-dtype input to the compute dtype up front
+            values[in_name] = values[in_name].astype(
+                _compute_dtype(program, in_name))
 
             def body(_, a):
                 vals = {in_name: a}
@@ -182,7 +193,7 @@ def _build_kernel(program: StencilProgram, g: GroupPlan):
             center = tuple(
                 slice(h[d][0], h[d][0] + block[d]) for d in range(rank - 1)
             ) + (slice(None),)
-            out_refs[0][:] = a[center]
+            out_refs[0][:] = a[center].astype(out_refs[0].dtype)
 
     return kernel
 
@@ -260,7 +271,7 @@ def _build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
                 v, vt = eval_expr(t.expr, ctx)
                 vals[name] = store_cast(ctx, v, vt, t.type)
             for name, ref in zip(g.outputs, out_refs):
-                ref[:] = vals[name][rz_lo:rz_lo + bz]
+                ref[:] = vals[name][rz_lo:rz_lo + bz].astype(ref.dtype)
 
         # update carries: new C = [i·bz - R_lo, (i+1)·bz) = old C tail + B_i
         if carry_refs:
@@ -294,11 +305,11 @@ def _build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
         for _ in g.outputs
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct((Z, Y, X), _compute_dtype(program, o))
+        jax.ShapeDtypeStruct((Z, Y, X), _io_dtype(program, o))
         for o in g.outputs
     ]
     scratch = [
-        pltpu.VMEM((bz + rz_lo, Y, X), _compute_dtype(program, n))
+        pltpu.VMEM((bz + rz_lo, Y, X), _io_dtype(program, n))
         for n in g.external_inputs
     ]
 
@@ -317,7 +328,7 @@ def _build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
     )
 
     def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
-        ops = [jnp.asarray(values[n], _compute_dtype(program, n))
+        ops = [jnp.asarray(values[n], _io_dtype(program, n))
                for n in g.external_inputs]
         for name in param_names:
             p = jnp.asarray(params[name])
@@ -370,7 +381,7 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
         for _ in g.outputs
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct(rounded, _compute_dtype(program, o))
+        jax.ShapeDtypeStruct(rounded, _io_dtype(program, o))
         for o in g.outputs
     ]
 
@@ -392,7 +403,7 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
     def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
         ops = []
         for name in g.external_inputs:
-            x = jnp.asarray(values[name], _compute_dtype(program, name))
+            x = jnp.asarray(values[name], _io_dtype(program, name))
             ops.append(_pad_input(x, g.halo[name], block, g.grid, grid_shape, rank))
         for name in group_param_names:
             p = jnp.asarray(params[name])

@@ -274,8 +274,9 @@ def store_cast(ctx: EvalContext, v, vt: ScalarType, t: ScalarType, storage=True)
 def _storage_dtype(ctx: EvalContext, t: ScalarType):
     xp = ctx.xp
     if ctx.int_width == 32:
-        # TPU path keeps int32/uint32 storage (narrow int layouts are
-        # inefficient on TPU; masking preserves semantics).
-        return xp.int32 if t.kind == "int" else xp.uint32
+        # TPU path computes uniformly in int32 (masking at stores preserves
+        # semantics for widths <= 16; full-range uint32 is documented as
+        # unsupported on the TPU path)
+        return xp.int32
     import numpy as np
     return t.np_dtype()

@@ -83,6 +83,9 @@ class Plan:
     groups: list[GroupPlan]              # executed in order, chained through HBM
     grid_shape: tuple[int, ...]          # full problem extent this plan was built for
     notes: list[str]
+    # per-sweep ideal HBM bytes per cell: program inputs read once + outputs
+    # written once in their TPU storage dtypes (full on-chip reuse)
+    ideal_bytes_per_cell: float = 8.0
 
     def describe(self) -> str:
         out = [f"plan for {self.program_name} on grid {self.grid_shape}:"]
@@ -112,6 +115,7 @@ class Plan:
                 for g in self.groups
             ],
             "notes": self.notes,
+            "ideal_bytes_per_cell": self.ideal_bytes_per_cell,
         }
 
 
@@ -138,14 +142,15 @@ def group_spans(program: StencilProgram, stages: list[str],
     return spans
 
 
-def _align_halo(span: Span, sweeps: int, sweep_span: Span, rank: int
-                ) -> tuple[tuple[int, int], ...]:
+def _align_halo(span: Span, sweeps: int, sweep_span: Span, rank: int,
+                q: int = 8) -> tuple[tuple[int, int], ...]:
     """Host-pad amounts per dim for an external input.
 
     Total halo = one-sweep span + (sweeps-1) × per-sweep creep.  Alignment:
-    leading dims exact; sublane dim (rank-2) rounded up to 8 per side; lane
-    dim (rank-1) ZERO (lane taps are in-kernel shifts, never window halo).
-    """
+    leading dims exact; sublane dim (rank-2) rounded up to the storage
+    tile quantum `q` per side (8 for 32-bit, 16 for 16-bit containers);
+    lane dim (rank-1) ZERO (lane taps are in-kernel shifts, never window
+    halo)."""
     out = []
     for d in range(rank):
         lo = -span[d][0] + (sweeps - 1) * -sweep_span[d][0]
@@ -153,7 +158,7 @@ def _align_halo(span: Span, sweeps: int, sweep_span: Span, rank: int
         if d == rank - 1:
             out.append((0, 0))
         elif d == rank - 2:
-            out.append((_round_up(lo, 8), _round_up(hi, 8)))
+            out.append((_round_up(lo, q), _round_up(hi, q)))
         else:
             out.append((lo, hi))
     return tuple(out)
@@ -197,12 +202,20 @@ def _plan_group(
     else:
         out_span = tuple((0, 0) for _ in range(rank))
 
+    def io_bytes(name: str) -> int:
+        return program.tensors[name].type.tpu_storage_bytes
+
+    # sublane quantum: the coarsest storage tile among group i/o tensors
+    # (16-bit containers tile at (16,128))
+    q = max([program.tensors[n].type.sublane_quantum
+             for n in list(ext_inputs) + list(outputs)] or [8])
+
     halo = {
         i: _align_halo(spans.get(i, tuple((0, 0) for _ in range(rank))),
-                       nf, out_span, rank)
+                       nf, out_span, rank, q)
         for i in ext_inputs
     }
-    dtype_bytes = 4
+    dtype_bytes = 4  # compute/intermediate dtype (f32/int32)
 
     def candidates():
         if block_override is not None:
@@ -210,11 +223,13 @@ def _plan_group(
             return
         if rank == 2:
             for bh in (256, 192, 128, 96, 64, 48, 32, 24, 16, 8):
-                yield (bh, grid_shape[1])
+                if bh % q == 0:
+                    yield (bh, grid_shape[1])
         elif rank == 3:
             for bz in (64, 48, 32, 24, 16, 8):
                 for by in (256, 192, 128, 96, 64, 48, 32, 16, 8):
-                    yield (bz, by, grid_shape[2])
+                    if bz % q == 0 and by % q == 0:
+                        yield (bz, by, grid_shape[2])
         else:
             raise ValueError(
                 f"rank {rank} not supported by the planner (2D/3D only)")
@@ -228,8 +243,8 @@ def _plan_group(
             w = 1
             for d in range(rank):
                 w *= block[d] + halo[i][d][0] + halo[i][d][1]
-            win_bytes += w * dtype_bytes
-        out_bytes = len(outputs) * math.prod(block) * dtype_bytes
+            win_bytes += w * io_bytes(i)
+        out_bytes = sum(math.prod(block) * io_bytes(o) for o in outputs)
         inter = 0
         for s in members:
             if s in outputs:
@@ -256,7 +271,7 @@ def _plan_group(
                 for d in range(rank - 1):
                     padded *= grid[d] * block[d] + halo[i][d][0] + halo[i][d][1]
                 padded *= grid_shape[-1]
-                pad_bytes += (orig + padded) * dtype_bytes
+                pad_bytes += (orig + padded) * io_bytes(i)
         useful = math.prod(grid_shape) * nf * max(len(outputs), 1)
         max_ext = math.prod(block)
         if ext_inputs:
@@ -292,27 +307,29 @@ def _plan_group(
         Z, Y, X = grid_shape
         rz_lo = max((-spans[i][0][0] for i in ext_inputs), default=0)
         rz_hi = max((spans[i][0][1] for i in ext_inputs), default=0)
-        plane = Y * X * dtype_bytes
+        plane_c = Y * X * dtype_bytes                      # compute dtype
+        plane_io_in = Y * X * sum(io_bytes(i) for i in ext_inputs)
+        plane_io_out = Y * X * sum(io_bytes(o) for o in outputs)
         for bz in (8, 16, 24, 32, 48, 64):
             # one-block lookahead: the high halo must fit in the next block
-            if Z % bz != 0 or bz < rz_hi:
+            if Z % bz != 0 or bz < rz_hi or bz % q != 0:
                 continue
             G = Z // bz
             block = (bz, Y, X)
-            blk_bytes = bz * plane
-            slab_bytes = (bz + rz_lo + rz_hi) * plane
+            slab_bytes = (bz + rz_lo + rz_hi) * plane_c
             # every external input is carried at the canonical slab span
-            carry_bytes = (bz + rz_lo) * plane * len(ext_inputs) if rz_lo else 0
-            vmem = (2 * blk_bytes * len(ext_inputs)
-                    + 2 * blk_bytes * len(outputs)
+            carry_bytes = (bz + rz_lo) * Y * X * sum(
+                io_bytes(i) for i in ext_inputs) if rz_lo else 0
+            vmem = (2 * bz * plane_io_in
+                    + 2 * bz * plane_io_out
                     + carry_bytes
                     + slab_bytes * (len(ext_inputs) + len(members) + 1))
             if vmem > vmem_budget:
                 continue
-            reads = (G + 1) * blk_bytes * len(ext_inputs)
-            writes = Z * plane * len(outputs)
+            reads = (G + 1) * bz * plane_io_in
+            writes = Z * plane_io_out
             useful = Z * Y * X * max(len(outputs), 1)
-            waste = slab_bytes / blk_bytes
+            waste = (bz + rz_lo + rz_hi) / bz
             bpc = (reads + writes) / useful
             key = (bpc, -bz)
             if best is None or key < best[0]:
@@ -384,10 +401,14 @@ def plan(
             nf -= 1
         notes.append(f"halo blowup: reduced fused sweeps to {nf}")
         g = whole(nf)
+    ideal = float(
+        sum(program.tensors[n].type.tpu_storage_bytes for n in program.input_names)
+        + sum(program.tensors[n].type.tpu_storage_bytes for n in program.output_names))
     if g is not None:
         notes.append(
             f"iterate={it} executed as {it // nf} kernel call(s) × {nf} fused sweeps")
-        return Plan(program.name, program.rank, [g], tuple(grid_shape), notes)
+        return Plan(program.name, program.rank, [g], tuple(grid_shape), notes,
+                    ideal_bytes_per_cell=ideal)
 
     # 2) split the stage DAG into chained groups (iterate>1 cannot split:
     #    the feedback loop needs the whole pipeline per sweep)
@@ -426,4 +447,5 @@ def plan(
     notes.append(
         f"VMEM pressure: split {len(stages)} stages into {len(groups)} "
         f"chained kernel groups")
-    return Plan(program.name, program.rank, groups, tuple(grid_shape), notes)
+    return Plan(program.name, program.rank, groups, tuple(grid_shape), notes,
+                ideal_bytes_per_cell=ideal)

@@ -70,7 +70,9 @@ def analyze(plan: Plan, dtype_bytes: int = 4) -> CompileReport:
         if "kernel call(s)" in n:
             chunks = int(n.split("as ")[1].split(" kernel")[0])
     bpc = chunks * total_bytes / (chunks * total_useful)
-    ideal = 2 * dtype_bytes  # one read + one write per cell per sweep
+    # per-sweep ideal: program inputs read + outputs written once, in their
+    # TPU storage dtypes (narrow ints stream at 2 B/cell like the reference)
+    ideal = pj.get("ideal_bytes_per_cell", 2 * dtype_bytes)
     frac = ideal / bpc if bpc > 0 else 0.0
     est = V5E_HBM_GBPS / bpc  # GB/s ÷ B/cell-update = Gcell-update/s
     return CompileReport(

@@ -155,3 +155,15 @@ def test_pallas_multi_group_chain():
     fn1 = pallas_backend.build_fn(p, the_plan=pl1, interpret=True)
     got1 = {k: np.asarray(v) for k, v in fn1({"a": jnp.asarray(x)}, {}).items()}
     check(p, got1, gold)
+
+
+def test_pallas_integer_iterate():
+    """Integer multi-sweep: fori_loop carry must stay loop-invariant."""
+    from soda_tpu.frontend.parser import parse
+    p = parse(
+        "kernel: intit\niterate: 4\ninput uint16: a(64, *)\n"
+        "output uint16: b(0,0) = (a(-1,0) + a(0,0) + a(1,0) + a(0,-1) + a(0,1)) / 5\n")
+    x = rng.integers(0, 60000, (48, 128)).astype(np.uint16)
+    gold = numpy_interp.run(p, {"a": x})
+    got = pallas_backend.run(p, {"a": x}, interpret=True)
+    check(p, got, gold)
