@@ -48,6 +48,17 @@ def main() -> int:
         ps = {pp.name: rng.standard_normal(pp.shape).astype(pp.type.np_dtype())
               for pp in p.params.values()}
         gold = numpy_interp.run(p, ins, ps)
+        # oracle chain: TPU output must also match the NATIVE C++ golden
+        # runner (which is bit-exact vs the NumPy oracle — enforced here)
+        import shutil
+        if shutil.which("g++"):
+            from soda_tpu.backend import cpp as cpp_backend
+
+            cgold = cpp_backend.compile_and_run(p, ins, ps)
+            for k in gold:
+                if not np.array_equal(cgold[k], gold[k]):
+                    print(f"{pathlib.Path(f).stem}: C++/NumPy oracle mismatch!")
+                    failures += 1
         try:
             got = pallas_backend.run(p, ins, ps, vmem_budget=4 * 2**20)
         except Exception as e:  # noqa: BLE001

@@ -271,6 +271,127 @@ def generate(program: StencilProgram, grid_shape: tuple[int, ...],
     return "\n".join(lines)
 
 
+_SHARED_TEMPLATE = r"""
+// shared-library entry: in-process oracle callable via ctypes
+extern "C" int soda_golden_run(%(args)s) {
+%(body)s
+  return 0;
+}
+"""
+
+
+def generate_shared(program: StencilProgram, grid_shape: tuple[int, ...],
+                    iterate: int | None = None) -> str:
+    """Generate a shared-library variant of the golden runner.
+
+    Exposes `int soda_golden_run(const <t0>* in0, ..., const <p0>* par0,
+    ..., <o0>* out0, ...)` operating on caller-owned row-major buffers — the
+    in-process native oracle (ctypes binding in NativeOracle), avoiding
+    subprocess + file IO per verification."""
+    it = max(program.iterate if iterate is None else iterate, 1)
+    rank = program.rank
+    idx = [f"i{d}" for d in range(rank)]
+    g = _Gen(program, idx)
+    order = program.stage_order()
+
+    args = []
+    for n in program.input_names:
+        args.append(f"const {program.tensors[n].type.cpp_type()}* {n}_in")
+    for p in program.params.values():
+        args.append(f"const {p.type.cpp_type()}* {p.name}_p")
+    for n in program.output_names:
+        args.append(f"{program.tensors[n].type.cpp_type()}* {n}_out")
+
+    body = []
+    for d, n in enumerate(grid_shape):
+        body.append(f"  const size_t d{d} = {n};")
+    body.append(f"  const size_t total = {'*'.join(f'd{d}' for d in range(rank))};")
+    for n in program.input_names:
+        t = program.tensors[n].type
+        body.append(f"  std::vector<{t.cpp_type()}> {n}_a({n}_in, {n}_in + total);")
+    for n in order:
+        t = program.tensors[n].type
+        body.append(f"  std::vector<{t.cpp_type()}> {n}_a(total);")
+    body.append(f"  for (int sweep = 0; sweep < {it}; ++sweep) {{")
+    for n in order:
+        t = program.tensors[n].type
+        expr_code, bt = g.emit(program.tensors[n].expr)
+        loop = "    "
+        for d in range(rank):
+            body.append(f"{loop}for (int64_t i{d} = 0; i{d} < (int64_t)d{d}; ++i{d})")
+            loop += "  "
+        store = g.cast_to(f"__v_{n}", bt, t)
+        lin = g._lin([f"i{d}" for d in range(rank)])
+        body.append(f"{loop}{{ {g.ctype(bt)} __v_{n} = {expr_code};")
+        body.append(f"{loop}  {n}_a[{lin}] = ({t.cpp_type()})({store}); }}")
+    if it > 1:
+        i0, o0 = program.input_names[0], program.output_names[0]
+        body.append(f"    if (sweep + 1 < {it}) {i0}_a = {o0}_a;")
+    body.append("  }")
+    for n in program.output_names:
+        t = program.tensors[n].type
+        body.append(
+            f"  std::memcpy({n}_out, {n}_a.data(), total * sizeof({t.cpp_type()}));")
+
+    return _HEADER + _SHARED_TEMPLATE % {
+        "args": ", ".join(args), "body": "\n".join(body)}
+
+
+class NativeOracle:
+    """In-process C++ golden oracle: g++-compiled shared library bound via
+    ctypes (the native verification data path — no subprocess, no file IO).
+    """
+
+    def __init__(self, program: StencilProgram, grid_shape: tuple[int, ...],
+                 iterate: int | None = None,
+                 workdir: str | pathlib.Path | None = None):
+        import ctypes
+
+        self.program = program
+        self.grid_shape = tuple(grid_shape)
+        src = generate_shared(program, self.grid_shape, iterate)
+        tmp = pathlib.Path(workdir) if workdir else pathlib.Path(
+            tempfile.mkdtemp(prefix=f"soda_oracle_{program.name}_"))
+        tmp.mkdir(parents=True, exist_ok=True)
+        cpp_path = tmp / "oracle.cpp"
+        cpp_path.write_text(src)
+        so = tmp / "oracle.so"
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+             "-o", str(so), str(cpp_path)],
+            check=True, capture_output=True)
+        self._lib = ctypes.CDLL(str(so))
+        self._fn = self._lib.soda_golden_run
+        self._fn.restype = ctypes.c_int
+
+    def run(self, inputs: Mapping[str, np.ndarray],
+            params: Mapping[str, np.ndarray] | None = None
+            ) -> dict[str, np.ndarray]:
+        import ctypes
+
+        params = dict(params or {})
+        p = self.program
+        bufs = []
+        for n in p.input_names:
+            t = p.tensors[n].type
+            a = np.ascontiguousarray(np.asarray(inputs[n], dtype=t.np_dtype()))
+            if a.shape != self.grid_shape:
+                raise ValueError(f"input {n!r} shape {a.shape} != {self.grid_shape}")
+            bufs.append(a)
+        for pr in p.params.values():
+            bufs.append(np.ascontiguousarray(
+                np.asarray(params[pr.name], dtype=pr.type.np_dtype())))
+        outs = {}
+        for n in p.output_names:
+            t = p.tensors[n].type
+            outs[n] = np.empty(self.grid_shape, dtype=t.np_dtype())
+            bufs.append(outs[n])
+        rc = self._fn(*(b.ctypes.data_as(ctypes.c_void_p) for b in bufs))
+        if rc != 0:
+            raise RuntimeError(f"native oracle failed rc={rc}")
+        return outs
+
+
 def compile_and_run(
     program: StencilProgram,
     inputs: Mapping[str, np.ndarray],

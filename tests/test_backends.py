@@ -167,3 +167,29 @@ def test_pallas_integer_iterate():
     gold = numpy_interp.run(p, {"a": x})
     got = pallas_backend.run(p, {"a": x}, interpret=True)
     check(p, got, gold)
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+def test_native_oracle_ctypes(tmp_path):
+    """In-process shared-lib C++ oracle: bit-exact, reusable across calls."""
+    p = parse_file(SODA / "blur.soda")
+    shape = (24, 32)
+    oracle = cpp_backend.NativeOracle(p, shape, workdir=tmp_path)
+    for seed in (0, 1):
+        x = np.random.default_rng(seed).integers(0, 65535, shape).astype(np.uint16)
+        gold = numpy_interp.run(p, {"input": x})
+        got = oracle.run({"input": x})
+        assert np.array_equal(got["blur_y"], gold["blur_y"])
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+def test_native_oracle_iterate_and_params(tmp_path):
+    p = parse_file(SODA / "conv5x5.soda")
+    shape = (20, 24)
+    oracle = cpp_backend.NativeOracle(p, shape, workdir=tmp_path)
+    rng2 = np.random.default_rng(2)
+    x = rng2.standard_normal(shape).astype(np.float32)
+    c = rng2.standard_normal((5, 5)).astype(np.float32)
+    gold = numpy_interp.run(p, {"src": x}, {"coef": c})
+    got = oracle.run({"src": x}, {"coef": c})
+    assert np.array_equal(got["dst"], gold["dst"])

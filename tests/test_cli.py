@@ -103,3 +103,12 @@ def test_grid_shape_from_tile_size(capsys, tmp_path):
     assert rc == 0
     j = json.loads(f.read_text())
     assert j["grid_shape"] == [2000, 512]
+
+
+def test_compile_cache_flag(tmp_path, capsys):
+    cache = tmp_path / "cache"
+    rc = main([str(SODA / "blur.soda"), "--grid-shape", "48,128",
+               "--run", "--interpret", "--compile-cache", str(cache)])
+    assert rc == 0
+    assert "PASS" in capsys.readouterr().out
+    assert cache.exists() and any(cache.iterdir())  # cache populated

@@ -156,3 +156,19 @@ def test_valid_rim():
     assert p.valid_rim() == 8  # radius 1 × iterate 8
     b = parse_file(SODA / "blur.soda")
     assert b.valid_rim() == 2
+
+
+def test_half_precision_storage():
+    # `half` stores f16 in the oracle; TPU path computes/stores f32 (doc'd)
+    from soda_tpu.backend import xla as xla_backend
+    p = parse(
+        "kernel: t\ninput half: a(16, *)\n"
+        "output half: b(0,0) = (a(0,-1) + a(0,0) + a(0,1)) / 3.0f\n"
+    )
+    x = rng.standard_normal((8, 16)).astype(np.float16)
+    out = run(p, {"a": x})["b"]
+    assert out.dtype == np.float16
+    got = xla_backend.run(p, {"a": x})["b"]
+    assert got.dtype == np.float16
+    assert np.allclose(out.astype(np.float64), got.astype(np.float64),
+                       rtol=2e-3, atol=2e-3)
