@@ -95,21 +95,32 @@ def _group_params(program: StencilProgram, g: GroupPlan) -> list[str]:
     return list(used)
 
 
-def _build_kernel(program: StencilProgram, g: GroupPlan):
-    """Build the pallas kernel body for a fused group."""
-    rank = program.rank
-    n_in = len(g.external_inputs)
-    param_names = _group_params(program, g)
-    n_par = len(param_names)
+def _read_params(program: StencilProgram, param_names, par_refs) -> dict:
+    params = {}
+    for name, ref in zip(param_names, par_refs):
+        v = ref[:]
+        shp = program.params[name].shape
+        params[name] = v.reshape(shp) if shp else v.reshape(())
+    return params
 
-    # per-tensor origin (logical coordinate of array index 0) per tiled dim
+
+def _eval_group(program: StencilProgram, g: GroupPlan,
+                values: dict, params: dict, out_refs) -> None:
+    """Shared evaluation core: `values` holds each external input's full
+    window (block + halo extent per g.halo); evaluates the group's stages
+    and writes the output blocks.  Used by both the windows kernel (windows
+    read directly from refs) and the strips kernel (windows assembled from
+    clamped halo-strip operands)."""
+    rank = program.rank
+    block = g.block
+
     def origin(name: str) -> tuple[int, ...]:
         if name in g.halo:  # external input: aligned halo
             return tuple(-g.halo[name][d][0] for d in range(rank - 1))
         sp = g.spans.get(name, tuple((0, 0) for _ in range(rank)))
         return tuple(sp[d][0] for d in range(rank - 1))
 
-    def extent(name: str, block) -> tuple[int, ...]:
+    def extent(name: str) -> tuple[int, ...]:
         if name in g.halo:
             return tuple(
                 block[d] + g.halo[name][d][0] + g.halo[name][d][1]
@@ -117,83 +128,81 @@ def _build_kernel(program: StencilProgram, g: GroupPlan):
         sp = g.spans.get(name, tuple((0, 0) for _ in range(rank)))
         return tuple(block[d] - sp[d][0] + sp[d][1] for d in range(rank - 1))
 
-    block = g.block
+    if g.sweeps == 1:
+        # exact-extent evaluation: each stage computed once at
+        # block+span extent; taps slice the parent's larger extent.
+        current_consumer: list[str] = [""]
+
+        def tap(parent: str, off: tuple[int, ...]):
+            c = current_consumer[0]
+            co = origin(c)
+            po = origin(parent)
+            ce = extent(c)
+            pv = values[parent]
+            sl = tuple(
+                slice(co[d] + off[d] - po[d], co[d] + off[d] - po[d] + ce[d])
+                for d in range(rank - 1)
+            ) + (slice(None),)
+            return _lane_shift(pv[sl], off[-1])
+
+        ctx = EvalContext(program=program, xp=jnp, tap=tap,
+                          params=params, int_width=32)
+        for name in g.stages:
+            t = program.tensors[name]
+            current_consumer[0] = name
+            v, vt = eval_expr(t.expr, ctx)
+            values[name] = store_cast(ctx, v, vt, t.type)
+        for name, ref in zip(g.outputs, out_refs):
+            ref[:] = values[name].astype(ref.dtype)
+    else:
+        # constant-extent fused sweeps (single input/output enforced by
+        # program validation): zero-fill taps; invalid values creep one
+        # sweep-span inward per sweep, staying inside the halo.
+        in_name = g.external_inputs[0]
+        out_name = g.outputs[0]
+
+        def tap_const(vals, parent, off):
+            return _shift_all(vals[parent], off)
+
+        # fori_loop carry dtype must be loop-invariant: widen the
+        # storage-dtype input to the compute dtype up front
+        values[in_name] = values[in_name].astype(
+            _compute_dtype(program, in_name))
+
+        def body(_, a):
+            vals = {in_name: a}
+            ctx = EvalContext(
+                program=program, xp=jnp,
+                tap=lambda p, off: tap_const(vals, p, off),
+                params=params, int_width=32)
+            for name in g.stages:
+                t = program.tensors[name]
+                v, vt = eval_expr(t.expr, ctx)
+                vals[name] = store_cast(ctx, v, vt, t.type)
+            return vals[out_name]
+
+        a = jax.lax.fori_loop(0, g.sweeps, body, values[in_name])
+        h = g.halo[in_name]
+        center = tuple(
+            slice(h[d][0], h[d][0] + block[d]) for d in range(rank - 1)
+        ) + (slice(None),)
+        out_refs[0][:] = a[center].astype(out_refs[0].dtype)
+
+
+def _build_kernel(program: StencilProgram, g: GroupPlan):
+    """Pallas kernel body for the windows strategy (windows read directly
+    from Element-indexed refs over host-padded arrays)."""
+    n_in = len(g.external_inputs)
+    param_names = _group_params(program, g)
+    n_par = len(param_names)
 
     def kernel(*refs):
         in_refs = refs[:n_in]
         par_refs = refs[n_in:n_in + n_par]
         out_refs = refs[n_in + n_par:]
-
-        params = {}
-        for name, ref in zip(param_names, par_refs):
-            v = ref[:]
-            shp = program.params[name].shape
-            params[name] = v.reshape(shp) if shp else v.reshape(())
-        del par_refs
-
-        values: dict[str, jax.Array] = {}
-        for name, ref in zip(g.external_inputs, in_refs):
-            values[name] = ref[:]
-
-        if g.sweeps == 1:
-            # exact-extent evaluation: each stage computed once at
-            # block+span extent; taps slice the parent's larger extent.
-            current_consumer: list[str] = [""]
-
-            def tap(parent: str, off: tuple[int, ...]):
-                c = current_consumer[0]
-                co = origin(c)
-                po = origin(parent)
-                ce = extent(c, block)
-                pv = values[parent]
-                sl = tuple(
-                    slice(co[d] + off[d] - po[d], co[d] + off[d] - po[d] + ce[d])
-                    for d in range(rank - 1)
-                ) + (slice(None),)
-                return _lane_shift(pv[sl], off[-1])
-
-            ctx = EvalContext(program=program, xp=jnp, tap=tap,
-                              params=params, int_width=32)
-            for name in g.stages:
-                t = program.tensors[name]
-                current_consumer[0] = name
-                v, vt = eval_expr(t.expr, ctx)
-                values[name] = store_cast(ctx, v, vt, t.type)
-            for name, ref in zip(g.outputs, out_refs):
-                ref[:] = values[name].astype(ref.dtype)
-        else:
-            # constant-extent fused sweeps (single input/output enforced by
-            # program validation): zero-fill taps; invalid values creep one
-            # sweep-span inward per sweep, staying inside the halo.
-            in_name = g.external_inputs[0]
-            out_name = g.outputs[0]
-
-            def tap_const(vals, parent, off):
-                return _shift_all(vals[parent], off)
-
-            # fori_loop carry dtype must be loop-invariant: widen the
-            # storage-dtype input to the compute dtype up front
-            values[in_name] = values[in_name].astype(
-                _compute_dtype(program, in_name))
-
-            def body(_, a):
-                vals = {in_name: a}
-                ctx = EvalContext(
-                    program=program, xp=jnp,
-                    tap=lambda p, off: tap_const(vals, p, off),
-                    params=params, int_width=32)
-                for name in g.stages:
-                    t = program.tensors[name]
-                    v, vt = eval_expr(t.expr, ctx)
-                    vals[name] = store_cast(ctx, v, vt, t.type)
-                return vals[out_name]
-
-            a = jax.lax.fori_loop(0, g.sweeps, body, values[in_name])
-            h = g.halo[in_name]
-            center = tuple(
-                slice(h[d][0], h[d][0] + block[d]) for d in range(rank - 1)
-            ) + (slice(None),)
-            out_refs[0][:] = a[center].astype(out_refs[0].dtype)
+        params = _read_params(program, param_names, par_refs)
+        values = {name: ref[:] for name, ref in zip(g.external_inputs, in_refs)}
+        _eval_group(program, g, values, params, out_refs)
 
     return kernel
 
@@ -206,6 +215,164 @@ def _pad_input(x: jax.Array, halo, block, grid, grid_shape, rank):
         pads.append((halo[d][0], halo[d][1] + (rounded - grid_shape[d])))
     pads.append((0, 0))
     return jnp.pad(x, pads)
+
+
+def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
+                           grid_shape: tuple[int, ...],
+                           interpret: bool = False):
+    """Pad-free windows: each input's (block + halo) window is assembled
+    in-kernel from a cross product of clamped Element *strip* operands
+    (lo/center/hi per tiled dim — a 3/9-patch), with strips zeroed under
+    edge predicates (= the zero-fill border convention) instead of reading
+    a host-padded copy.  Eliminates the pad's read+write of the full array
+    per kernel call.  Requires grid dims divisible by the block and strip
+    sizes aligned to the tile quantum (the planner guarantees both)."""
+    import itertools as it
+
+    rank = program.rank
+    block = g.block
+    X = grid_shape[-1]
+    n_tiled = rank - 1
+    param_names = _group_params(program, g)
+
+    # piece kinds per tiled dim per input: -1 (lo strip), 0 (center), +1 (hi)
+    def kinds_for(name):
+        per_dim = []
+        for d in range(n_tiled):
+            ks = []
+            if g.halo[name][d][0] > 0:
+                ks.append(-1)
+            ks.append(0)
+            if g.halo[name][d][1] > 0:
+                ks.append(1)
+            per_dim.append(ks)
+        return list(it.product(*per_dim))
+
+    in_specs = []
+    piece_index: list[tuple[str, tuple[int, ...]]] = []
+    for name in g.external_inputs:
+        h = g.halo[name]
+        for kinds in kinds_for(name):
+            shape = []
+            for d in range(n_tiled):
+                shape.append({-1: h[d][0], 0: block[d], 1: h[d][1]}[kinds[d]])
+            shape.append(X)
+
+            def imap(*gidx, _kinds=kinds, _h=h):
+                out = []
+                for d in range(n_tiled):
+                    B = block[d]
+                    D = grid_shape[d]
+                    if _kinds[d] == 0:
+                        out.append(gidx[d] * B)
+                    elif _kinds[d] == -1:
+                        out.append(pl.multiple_of(
+                            jnp.maximum(gidx[d] * B - _h[d][0], 0), 8))
+                    else:
+                        out.append(pl.multiple_of(
+                            jnp.minimum((gidx[d] + 1) * B, D - _h[d][1]), 8))
+                out.append(0)
+                return tuple(out)
+
+            in_specs.append(pl.BlockSpec(
+                tuple(pl.Element(s) for s in shape), imap,
+                memory_space=pltpu.VMEM))
+            piece_index.append((name, kinds))
+
+    for _ in param_names:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    out_block = tuple(block[:n_tiled]) + (X,)
+    out_specs = [
+        pl.BlockSpec(out_block, lambda *gidx: tuple(gidx) + (0,),
+                     memory_space=pltpu.VMEM)
+        for _ in g.outputs
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct(tuple(grid_shape[:n_tiled]) + (X,),
+                             _io_dtype(program, o))
+        for o in g.outputs
+    ]
+
+    n_pieces = len(piece_index)
+
+    def kernel(*refs):
+        piece_refs = refs[:n_pieces]
+        par_refs = refs[n_pieces:n_pieces + len(param_names)]
+        out_refs = refs[n_pieces + len(param_names):]
+        params = _read_params(program, param_names, par_refs)
+
+        gidx = [pl.program_id(d) for d in range(n_tiled)]
+        gnum = [pl.num_programs(d) for d in range(n_tiled)]
+
+        pieces: dict[str, dict[tuple[int, ...], jax.Array]] = {}
+        for (name, kinds), ref in zip(piece_index, piece_refs):
+            v = ref[:]
+            # zero edge strips: a lo strip at grid index 0 (or hi strip at
+            # the last index) holds clamped re-reads — semantically the
+            # region is outside the grid, i.e. zero
+            zero = None
+            for d in range(n_tiled):
+                if kinds[d] == -1:
+                    c = gidx[d] == 0
+                elif kinds[d] == 1:
+                    c = gidx[d] == gnum[d] - 1
+                else:
+                    continue
+                zero = c if zero is None else (zero | c)
+            if zero is not None:
+                v = jnp.where(zero, jnp.zeros_like(v), v)
+            pieces.setdefault(name, {})[kinds] = v
+
+        values = {}
+        for name in g.external_inputs:
+            ps = pieces[name]
+            kind_lists = sorted({k for k in ps})
+            # assemble: concat along dims from last tiled dim to first
+            def assemble(prefix: tuple[int, ...], d: int):
+                if d == n_tiled:
+                    return ps[prefix]
+                parts = []
+                for k in (-1, 0, 1):
+                    if any(kk[:d] == prefix and kk[d] == k for kk in ps):
+                        parts.append(assemble(prefix + (k,), d + 1))
+                return jnp.concatenate(parts, axis=d) if len(parts) > 1 else parts[0]
+
+            values[name] = assemble((), 0)
+
+        _eval_group(program, g, values, params, out_refs)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=g.grid,
+        in_specs=in_specs,
+        out_specs=out_specs[0] if len(out_specs) == 1 else tuple(out_specs),
+        out_shape=out_shapes[0] if len(out_shapes) == 1 else tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * len(g.grid),
+            vmem_limit_bytes=128 * 2**20,
+        ),
+        interpret=interpret,
+    )
+
+    def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
+        ops = []
+        for name in g.external_inputs:
+            x = jnp.asarray(values[name], _io_dtype(program, name))
+            ops.extend([x] * len(kinds_for(name)))
+        for name in param_names:
+            p = jnp.asarray(params[name])
+            t = program.params[name].type
+            p = p.astype(jnp.float32 if t.is_float else jnp.int32)
+            if p.ndim < 2:
+                p = p.reshape((1,) * (2 - p.ndim) + p.shape)
+            ops.append(p)
+        outs = call(*ops)
+        if len(g.outputs) == 1:
+            outs = (outs,)
+        return dict(zip(g.outputs, outs))
+
+    return fn
 
 
 def _build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
@@ -350,6 +517,8 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
     """fn(values: dict, params: dict) -> dict for one fused group call."""
     if g.strategy == "linebuffer":
         return _build_linebuffer_group_fn(program, g, grid_shape, interpret)
+    if g.strategy == "strips":
+        return _build_strips_group_fn(program, g, grid_shape, interpret)
     rank = program.rank
     block = g.block
     X = grid_shape[-1]

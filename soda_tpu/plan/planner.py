@@ -100,6 +100,7 @@ class Plan:
             "groups": [
                 {
                     "stages": g.stages,
+                    "strategy": g.strategy,
                     "external_inputs": g.external_inputs,
                     "outputs": g.outputs,
                     "sweeps": g.sweeps,
@@ -215,6 +216,19 @@ def _plan_group(
                        nf, out_span, rank, q)
         for i in ext_inputs
     }
+    # strips variant: leading-dim strips must also be tile-quantum-aligned
+    # (Element starts on dim 0 need divisibility by 8 — empirical Mosaic
+    # rule), so leading halos round up to 8 as well
+    halo_strips = {}
+    for i in ext_inputs:
+        hs = []
+        for d in range(rank):
+            lo, hi = halo[i][d]
+            if d < rank - 2:
+                hs.append((_round_up(lo, 8), _round_up(hi, 8)))
+            else:
+                hs.append((lo, hi))
+        halo_strips[i] = tuple(hs)
     dtype_bytes = 4  # compute/intermediate dtype (f32/int32)
 
     def candidates():
@@ -234,7 +248,7 @@ def _plan_group(
             raise ValueError(
                 f"rank {rank} not supported by the planner (2D/3D only)")
 
-    def evaluate(block):
+    def evaluate(block, halo, strips=False):
         grid = []
         for d in range(rank - 1):
             grid.append(_round_up(grid_shape[d], block[d]) // block[d])
@@ -257,6 +271,8 @@ def _plan_group(
                 e *= block[d] + lo + hi
             inter += e * dtype_bytes
         vmem = 2 * (win_bytes + out_bytes) + inter
+        if strips:
+            vmem += win_bytes  # assembled window copy lives alongside pieces
         nblocks = math.prod(grid)
         reads = win_bytes * nblocks
         writes = out_bytes * nblocks
@@ -265,6 +281,8 @@ def _plan_group(
         # once per kernel call — real HBM bytes, counted honestly
         pad_bytes = 0
         for i in ext_inputs:
+            if strips:
+                break
             if any(halo[i][d][0] or halo[i][d][1] for d in range(rank)):
                 orig = math.prod(grid_shape)
                 padded = 1
@@ -289,15 +307,22 @@ def _plan_group(
     for block in candidates():
         if any(block[d] > _round_up(grid_shape[d], 8) for d in range(rank - 1)):
             continue
-        ev = evaluate(block)
-        if ev["vmem"] > vmem_budget:
-            continue
-        if ev["waste"] > max_compute_waste and nf > 1:
-            continue
-        bpc = ev["traffic"] / ev["useful"]
-        key = (bpc, -math.prod(block))
-        if best is None or key < best[0]:
-            best = (key, block, ev, "windows")
+        ev = evaluate(block, halo)
+        if ev["vmem"] <= vmem_budget and not (
+                ev["waste"] > max_compute_waste and nf > 1):
+            bpc = ev["traffic"] / ev["useful"]
+            key = (bpc, -math.prod(block))
+            if best is None or key < best[0]:
+                best = (key, block, ev, "windows")
+        # pad-free strips variant: needs exactly divisible grid dims
+        if all(grid_shape[d] % block[d] == 0 for d in range(rank - 1)):
+            evs = evaluate(block, halo_strips, strips=True)
+            if evs["vmem"] <= vmem_budget and not (
+                    evs["waste"] > max_compute_waste and nf > 1):
+                bpc = evs["traffic"] / evs["useful"]
+                key = (bpc, -math.prod(block))
+                if best is None or key < best[0]:
+                    best = (key, block, evs, "strips")
 
     # -- line-buffer z-march (rank-3, single sweep): Blocked slabs over the
     #    leading dim with R carried planes in persistent VMEM scratch —
@@ -349,8 +374,9 @@ def _plan_group(
         sweep_span=out_span,
         block=block,
         grid=ev["grid"],
-        halo=halo if strategy == "windows" else {
-            i: tuple((0, 0) for _ in range(rank)) for i in ext_inputs},
+        halo=(halo if strategy == "windows" else
+              halo_strips if strategy == "strips" else
+              {i: tuple((0, 0) for _ in range(rank)) for i in ext_inputs}),
         vmem_bytes=ev["vmem"],
         hbm_bytes_per_call=ev["traffic"],
         useful_cells_per_call=ev["useful"],
