@@ -631,12 +631,26 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
     return fn
 
 
+def _check_io(program, inputs, params):
+    missing = [n for n in program.input_names if n not in inputs]
+    if missing:
+        raise ValueError(
+            f"missing input tensor(s) {missing}; program {program.name!r} "
+            f"expects inputs {program.input_names}")
+    missing_p = [n for n in program.params if n not in params]
+    if missing_p:
+        raise ValueError(
+            f"missing param(s) {missing_p}; program {program.name!r} "
+            f"declares params {list(program.params)}")
+
+
 def run(program: StencilProgram, inputs, params=None, *,
         grid_shape=None, interpret=False, iterate=None, jit=True, **kw):
     """Execute via Pallas; returns numpy outputs in declared dtypes."""
     import numpy as np
 
     params = dict(params or {})
+    _check_io(program, inputs, params)
     if grid_shape is None:
         grid_shape = tuple(np.asarray(next(iter(inputs.values()))).shape)
     fn = build_fn(program, grid_shape=grid_shape, interpret=interpret,

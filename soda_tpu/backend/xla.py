@@ -98,6 +98,9 @@ def run(
     """Execute and return numpy outputs in declared storage dtypes."""
     import numpy as np
 
+    from .pallas import _check_io
+
+    _check_io(program, inputs, params or {})
     fn = build_fn(program, iterate)
     if jit:
         fn = jax.jit(fn)

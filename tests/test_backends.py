@@ -193,3 +193,15 @@ def test_native_oracle_iterate_and_params(tmp_path):
     gold = numpy_interp.run(p, {"src": x}, {"coef": c})
     got = oracle.run({"src": x}, {"coef": c})
     assert np.array_equal(got["dst"], gold["dst"])
+
+
+def test_multi_output_program():
+    """Two outputs from one kernel (multiple DRAM sinks)."""
+    p = parse_file(SODA / "gradient2d.soda")
+    x = rng.standard_normal((48, 128)).astype(np.float32)
+    gold = numpy_interp.run(p, {"f": x})
+    assert set(gold) == {"dx", "dy"}
+    got = pallas_backend.run(p, {"f": x}, interpret=True)
+    check(p, got, gold)
+    got_x = xla_backend.run(p, {"f": x})
+    check(p, got_x, gold)
