@@ -1,0 +1,189 @@
+"""Line-buffer z-march kernel (optionally y-tiled) for rank-3 single-sweep
+groups — the VMEM analog of SODA's line buffer.
+
+Marches Blocked z-slabs over the leading dim with R carried planes in
+persistent VMEM scratch: one HBM read per cell in z (no z-halo re-reads,
+no host-pad copies).  When the (Y, X) plane is too large for VMEM, the y
+dim is additionally tiled with pad-free halo strips (clamped Element
+operands, edge-predicated zeroing — same trick as the strips strategy);
+the y-extended slab rides the carry so the y halo is read once per block.
+
+Grid = (Gy, Gz+1), z innermost: for each y block, z marches sequentially
+with a fresh carry (initialized at i_z == 0).  At step (j, i) the kernel
+computes OUTPUT slab (i-1, j) from concat_z(carry, B[:rz_hi]) with zeros
+on the extra step (top grid edge).  Stage evaluation uses constant-extent
+zero-fill taps; the slab margins absorb the invalid creep.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..interp.evaluator import EvalContext, eval_expr, store_cast
+from ..ir.program import StencilProgram
+from ..plan.planner import GroupPlan
+
+
+def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
+                              grid_shape: tuple[int, ...],
+                              interpret: bool = False):
+    from .pallas import _group_params, _io_dtype, _read_params, _shift_all
+
+    rank = program.rank
+    assert rank == 3 and g.sweeps == 1
+    bz, by, X = g.block
+    Z, Y, _ = grid_shape
+    Gz = Z // bz
+    Gy = Y // by
+    rz_lo = max((-g.spans[i][0][0] for i in g.external_inputs), default=0)
+    rz_hi = max((g.spans[i][0][1] for i in g.external_inputs), default=0)
+    # y halo (strip width) from the plan; 0 when y is untiled (by == Y)
+    hy = max((g.halo[i][1][0] for i in g.external_inputs), default=0)
+    n_in = len(g.external_inputs)
+    param_names = _group_params(program, g)
+    wy = by + 2 * hy
+
+    # per input: center piece (+ y-lo / y-hi strips when y is tiled)
+    piece_kinds = [0] if hy == 0 else [-1, 0, 1]
+
+    in_specs = []
+    for _name in g.external_inputs:
+        for kind in piece_kinds:
+            w = {0: by, -1: hy, 1: hy}[kind]
+
+            def imap(j, i, _kind=kind):
+                z = pl.multiple_of(jnp.minimum(i, Gz - 1) * bz, 8)
+                if _kind == 0:
+                    y = j * by
+                elif _kind == -1:
+                    y = pl.multiple_of(jnp.maximum(j * by - hy, 0), 8)
+                else:
+                    y = pl.multiple_of(jnp.minimum((j + 1) * by, Y - hy), 8)
+                return (z, y, 0)
+
+            in_specs.append(pl.BlockSpec(
+                (pl.Element(bz), pl.Element(w), pl.Element(X)),
+                imap, memory_space=pltpu.VMEM))
+    for _ in param_names:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    out_specs = [
+        pl.BlockSpec((bz, by, X),
+                     lambda j, i: (jnp.maximum(i - 1, 0), j, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in g.outputs
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((Z, Y, X), _io_dtype(program, o))
+        for o in g.outputs
+    ]
+    scratch = [
+        pltpu.VMEM((bz + rz_lo, wy, X), _io_dtype(program, n))
+        for n in g.external_inputs
+    ]
+
+    npieces = len(piece_kinds)
+
+    def kernel(*refs):
+        in_refs = refs[:n_in * npieces]
+        par_refs = refs[n_in * npieces:n_in * npieces + len(param_names)]
+        out_refs = refs[n_in * npieces + len(param_names):
+                        n_in * npieces + len(param_names) + len(g.outputs)]
+        carry_refs = refs[n_in * npieces + len(param_names) + len(g.outputs):]
+
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        params = _read_params(program, param_names, par_refs)
+
+        # assemble each input's y-extended block (bz, by + 2*hy, X)
+        blocks = {}
+        for k, n in enumerate(g.external_inputs):
+            if hy == 0:
+                blocks[n] = in_refs[k][:]
+            else:
+                lo = in_refs[k * 3 + 0][:]
+                mid = in_refs[k * 3 + 1][:]
+                hi = in_refs[k * 3 + 2][:]
+                lo = jnp.where(j == 0, jnp.zeros_like(lo), lo)
+                hi = jnp.where(j == Gy - 1, jnp.zeros_like(hi), hi)
+                blocks[n] = jnp.concatenate([lo, mid, hi], axis=1)
+
+        @pl.when(i > 0)
+        def _():
+            slabs = {}
+            for k, n in enumerate(g.external_inputs):
+                b = blocks[n]
+                parts = [carry_refs[k][:]]
+                if rz_hi > 0:
+                    zeros_top = jnp.zeros((rz_hi,) + b.shape[1:], b.dtype)
+                    parts.append(jnp.where(i == Gz, zeros_top, b[:rz_hi]))
+                slabs[n] = (jnp.concatenate(parts, axis=0)
+                            if len(parts) > 1 else parts[0])
+
+            vals = dict(slabs)
+            ctx = EvalContext(
+                program=program, xp=jnp,
+                tap=lambda p_, off: _shift_all(vals[p_], off),
+                params=params, int_width=32)
+            for name in g.stages:
+                t = program.tensors[name]
+                v, vt = eval_expr(t.expr, ctx)
+                vals[name] = store_cast(ctx, v, vt, t.type)
+            for name, ref in zip(g.outputs, out_refs):
+                ref[:] = vals[name][rz_lo:rz_lo + bz,
+                                    hy:hy + by].astype(ref.dtype)
+
+        # carry update: new C = [i·bz - rz_lo, (i+1)·bz) of the y-extended
+        # block stream; re-initialized at i == 0 for each fresh y block
+        for k, n in enumerate(g.external_inputs):
+            b = blocks[n]
+
+            @pl.when(i == 0)
+            def _(b=b, k=k):
+                zeros_lo = jnp.zeros((rz_lo,) + b.shape[1:], b.dtype)
+                carry_refs[k][:] = (jnp.concatenate([zeros_lo, b], axis=0)
+                                    if rz_lo else b)
+
+            @pl.when((i > 0) & (i < Gz))
+            def _(b=b, k=k):
+                old = carry_refs[k][:]
+                carry_refs[k][:] = (jnp.concatenate([old[bz:], b], axis=0)
+                                    if rz_lo else b)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(Gy, Gz + 1),
+        in_specs=in_specs,
+        out_specs=out_specs[0] if len(out_specs) == 1 else tuple(out_specs),
+        out_shape=out_shapes[0] if len(out_shapes) == 1 else tuple(out_shapes),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=128 * 2**20,
+        ),
+        interpret=interpret,
+    )
+
+    def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
+        ops = []
+        for n in g.external_inputs:
+            x = jnp.asarray(values[n], _io_dtype(program, n))
+            ops.extend([x] * npieces)
+        for name in param_names:
+            p = jnp.asarray(params[name])
+            t = program.params[name].type
+            p = p.astype(jnp.float32 if t.is_float else jnp.int32)
+            if p.ndim < 2:
+                p = p.reshape((1,) * (2 - p.ndim) + p.shape)
+            ops.append(p)
+        outs = call(*ops)
+        if len(g.outputs) == 1:
+            outs = (outs,)
+        return dict(zip(g.outputs, outs))
+
+    return fn

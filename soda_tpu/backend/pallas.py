@@ -375,148 +375,12 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
     return fn
 
 
-def _build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
-                               grid_shape: tuple[int, ...],
-                               interpret: bool = False):
-    """Line-buffer z-march: Blocked input slabs over the leading dim with R
-    carried planes in persistent VMEM scratch (the VMEM analog of SODA's
-    line buffer — one HBM read per cell, no halo re-reads, no pad copies).
-
-    Grid = Z/bz + 1 sequential steps.  At step i the kernel sees input
-    block B_i (clamped to the last block on the extra step), holds carry
-    C = planes [(i-1)·bz - R_lo, i·bz) per input, and computes OUTPUT slab
-    i-1 from concat(C, B_i[:R_hi]) (zeros on the extra step = top grid
-    edge).  Stage evaluation uses constant-extent zero-fill taps; the
-    slab's R-plane margins absorb the invalid creep exactly as in the
-    windows strategy."""
-    rank = program.rank
-    assert rank == 3 and g.sweeps == 1
-    bz, Y, X = g.block
-    Z = grid_shape[0]
-    G = Z // bz
-    rz_lo = max((-g.spans[i][0][0] for i in g.external_inputs), default=0)
-    rz_hi = max((g.spans[i][0][1] for i in g.external_inputs), default=0)
-    n_in = len(g.external_inputs)
-    param_names = _group_params(program, g)
-
-    def kernel(*refs):
-        in_refs = refs[:n_in]
-        par_refs = refs[n_in:n_in + len(param_names)]
-        out_refs = refs[n_in + len(param_names):n_in + len(param_names) + len(g.outputs)]
-        carry_refs = refs[n_in + len(param_names) + len(g.outputs):]
-
-        i = pl.program_id(0)
-        params = {}
-        for name, ref in zip(param_names, par_refs):
-            v = ref[:]
-            shp = program.params[name].shape
-            params[name] = v.reshape(shp) if shp else v.reshape(())
-
-        blocks = {n: r[:] for n, r in zip(g.external_inputs, in_refs)}
-
-        @pl.when(i > 0)
-        def _():
-            slabs = {}
-            for k, n in enumerate(g.external_inputs):
-                b = blocks[n]
-                parts = []
-                if rz_lo + bz > 0:
-                    parts.append(carry_refs[k][:] if carry_refs else b)
-                if rz_hi > 0:
-                    zeros_top = jnp.zeros((rz_hi,) + b.shape[1:], b.dtype)
-                    top = jnp.where(i == G, zeros_top, b[:rz_hi])
-                    parts.append(top)
-                slabs[n] = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-
-            vals = dict(slabs)
-            ctx = EvalContext(
-                program=program, xp=jnp,
-                tap=lambda p_, off: _shift_all(vals[p_], off),
-                params=params, int_width=32)
-            for name in g.stages:
-                t = program.tensors[name]
-                v, vt = eval_expr(t.expr, ctx)
-                vals[name] = store_cast(ctx, v, vt, t.type)
-            for name, ref in zip(g.outputs, out_refs):
-                ref[:] = vals[name][rz_lo:rz_lo + bz].astype(ref.dtype)
-
-        # update carries: new C = [i·bz - R_lo, (i+1)·bz) = old C tail + B_i
-        if carry_refs:
-            for k, n in enumerate(g.external_inputs):
-                b = blocks[n]
-
-                @pl.when(i == 0)
-                def _(b=b, k=k):
-                    zeros_lo = jnp.zeros((rz_lo,) + b.shape[1:], b.dtype)
-                    carry_refs[k][:] = jnp.concatenate(
-                        [zeros_lo, b], axis=0) if rz_lo else b
-
-                @pl.when((i > 0) & (i < G))
-                def _(b=b, k=k):
-                    old = carry_refs[k][:]
-                    carry_refs[k][:] = jnp.concatenate(
-                        [old[bz:], b], axis=0) if rz_lo else b
-
-    in_specs = [
-        pl.BlockSpec((bz, Y, X),
-                     lambda i: (jnp.minimum(i, G - 1), 0, 0),
-                     memory_space=pltpu.VMEM)
-        for _ in g.external_inputs
-    ]
-    for _ in param_names:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-    out_specs = [
-        pl.BlockSpec((bz, Y, X),
-                     lambda i: (jnp.maximum(i - 1, 0), 0, 0),
-                     memory_space=pltpu.VMEM)
-        for _ in g.outputs
-    ]
-    out_shapes = [
-        jax.ShapeDtypeStruct((Z, Y, X), _io_dtype(program, o))
-        for o in g.outputs
-    ]
-    scratch = [
-        pltpu.VMEM((bz + rz_lo, Y, X), _io_dtype(program, n))
-        for n in g.external_inputs
-    ]
-
-    call = pl.pallas_call(
-        kernel,
-        grid=(G + 1,),
-        in_specs=in_specs,
-        out_specs=out_specs[0] if len(out_specs) == 1 else tuple(out_specs),
-        out_shape=out_shapes[0] if len(out_shapes) == 1 else tuple(out_shapes),
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=128 * 2**20,
-        ),
-        interpret=interpret,
-    )
-
-    def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
-        ops = [jnp.asarray(values[n], _io_dtype(program, n))
-               for n in g.external_inputs]
-        for name in param_names:
-            p = jnp.asarray(params[name])
-            t = program.params[name].type
-            p = p.astype(jnp.float32 if t.is_float else jnp.int32)
-            if p.ndim < 2:
-                p = p.reshape((1,) * (2 - p.ndim) + p.shape)
-            ops.append(p)
-        outs = call(*ops)
-        if len(g.outputs) == 1:
-            outs = (outs,)
-        return dict(zip(g.outputs, outs))
-
-    return fn
-
-
 def build_group_fn(program: StencilProgram, g: GroupPlan,
                    grid_shape: tuple[int, ...], interpret: bool = False):
     """fn(values: dict, params: dict) -> dict for one fused group call."""
     if g.strategy == "linebuffer":
-        return _build_linebuffer_group_fn(program, g, grid_shape, interpret)
+        from ._linebuffer import build_linebuffer_group_fn
+        return build_linebuffer_group_fn(program, g, grid_shape, interpret)
     if g.strategy == "strips":
         return _build_strips_group_fn(program, g, grid_shape, interpret)
     rank = program.rank

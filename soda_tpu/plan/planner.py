@@ -332,35 +332,47 @@ def _plan_group(
         Z, Y, X = grid_shape
         rz_lo = max((-spans[i][0][0] for i in ext_inputs), default=0)
         rz_hi = max((spans[i][0][1] for i in ext_inputs), default=0)
-        plane_c = Y * X * dtype_bytes                      # compute dtype
-        plane_io_in = Y * X * sum(io_bytes(i) for i in ext_inputs)
-        plane_io_out = Y * X * sum(io_bytes(o) for o in outputs)
+        ry = max(max(-spans[i][1][0], spans[i][1][1])
+                 for i in ext_inputs) if ext_inputs else 0
+        y_cands = [Y] + [b for b in (512, 256, 128, 64, 32)
+                         if b < Y and Y % b == 0 and b % q == 0]
         for bz in (8, 16, 24, 32, 48, 64):
             # one-block lookahead: the high halo must fit in the next block
             if Z % bz != 0 or bz < rz_hi or bz % q != 0:
                 continue
             G = Z // bz
-            block = (bz, Y, X)
-            slab_bytes = (bz + rz_lo + rz_hi) * plane_c
-            # every external input is carried at the canonical slab span
-            carry_bytes = (bz + rz_lo) * Y * X * sum(
-                io_bytes(i) for i in ext_inputs) if rz_lo else 0
-            vmem = (2 * bz * plane_io_in
-                    + 2 * bz * plane_io_out
-                    + carry_bytes
-                    + slab_bytes * (len(ext_inputs) + len(members) + 1))
-            if vmem > vmem_budget:
-                continue
-            reads = (G + 1) * bz * plane_io_in
-            writes = Z * plane_io_out
-            useful = Z * Y * X * max(len(outputs), 1)
-            waste = (bz + rz_lo + rz_hi) / bz
-            bpc = (reads + writes) / useful
-            key = (bpc, -bz)
-            if best is None or key < best[0]:
-                best = (key, block,
-                        dict(grid=(G + 1,), vmem=vmem, traffic=reads + writes,
-                             useful=useful, waste=waste), "linebuffer")
+            for by in y_cands:
+                hy = 0 if by == Y else _round_up(ry, q)
+                if by != Y and hy == 0 and ry > 0:
+                    hy = q
+                wy = by + 2 * hy
+                Gy = Y // by
+                block = (bz, by, X)
+                plane_c = wy * X * dtype_bytes
+                in_io = sum(io_bytes(i) for i in ext_inputs)
+                out_io = sum(io_bytes(o) for o in outputs)
+                slab_bytes = (bz + rz_lo + rz_hi) * plane_c
+                carry_bytes = (bz + rz_lo) * wy * X * in_io
+                vmem = (2 * bz * wy * X * in_io
+                        + 2 * bz * by * X * out_io
+                        + carry_bytes
+                        + slab_bytes * (len(ext_inputs) + len(members) + 1))
+                if vmem > vmem_budget:
+                    continue
+                reads = Gy * (G + 1) * bz * wy * X * in_io
+                writes = Z * Y * X * out_io
+                useful = Z * Y * X * max(len(outputs), 1)
+                waste = ((bz + rz_lo + rz_hi) * wy) / (bz * by)
+                bpc = (reads + writes) / useful
+                key = (bpc, -bz * by)
+                if best is None or key < best[0]:
+                    halo_lb = {
+                        i: ((0, 0), (hy, hy), (0, 0)) for i in ext_inputs}
+                    best = (key, block,
+                            dict(grid=(Gy, G + 1), vmem=vmem,
+                                 traffic=reads + writes,
+                                 useful=useful, waste=waste,
+                                 halo_lb=halo_lb), "linebuffer")
 
     if best is None:
         return None
@@ -376,7 +388,9 @@ def _plan_group(
         grid=ev["grid"],
         halo=(halo if strategy == "windows" else
               halo_strips if strategy == "strips" else
-              {i: tuple((0, 0) for _ in range(rank)) for i in ext_inputs}),
+              ev.get("halo_lb",
+                     {i: tuple((0, 0) for _ in range(rank))
+                      for i in ext_inputs})),
         vmem_bytes=ev["vmem"],
         hbm_bytes_per_call=ev["traffic"],
         useful_cells_per_call=ev["useful"],
