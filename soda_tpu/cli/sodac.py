@@ -211,7 +211,7 @@ def main(argv=None) -> int:
 
     if args.report:
         did_something = True
-        print(analyze(the_plan).pretty())
+        print(analyze(the_plan, program=program).pretty())
 
     if args.cpp_golden or args.xocl_kernel or args.xocl_host:
         did_something = True
@@ -332,7 +332,7 @@ def main(argv=None) -> int:
             print(f"profiler trace written to {args.profile}")
 
     if not did_something:
-        print(analyze(the_plan).pretty())
+        print(analyze(the_plan, program=program).pretty())
     return 0
 
 

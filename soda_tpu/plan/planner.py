@@ -197,6 +197,11 @@ def _plan_group(
     rank = program.rank
     ext_inputs, outputs = _group_io(program, members)
     spans = group_spans(program, members, outputs)
+    # prune dead stages (no path to a group output): they have no required
+    # extent and are never materialized — same as the reference's dataflow
+    # graph dropping consumer-less modules
+    members = [m for m in members if m in spans]
+    ext_inputs = [i for i in ext_inputs if i in spans]
 
     if nf > 1:
         out_span = program.cumulative_span(program.output_names[0])

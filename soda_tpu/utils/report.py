@@ -31,6 +31,8 @@ class CompileReport:
     ideal_bytes_per_cell_update: float
     roofline_fraction: float
     est_gcells_per_s_v5e: float
+    vpu_ops_per_update: float | None = None
+    est_vpu_bound_gcells: float | None = None
     compile_seconds: float | None = None
 
     def to_json(self) -> dict:
@@ -55,12 +57,21 @@ class CompileReport:
         out.append(
             f"  est. v5e throughput (819 GB/s HBM): "
             f"{self.est_gcells_per_s_v5e:.1f} GCell-updates/s")
+        if self.est_vpu_bound_gcells is not None:
+            bound = min(self.est_gcells_per_s_v5e, self.est_vpu_bound_gcells)
+            which = ("HBM" if self.est_gcells_per_s_v5e
+                     <= self.est_vpu_bound_gcells else "VPU")
+            out.append(
+                f"  est. VPU bound (~3.85 Top/s f32, {self.vpu_ops_per_update:.1f}"
+                f" weighted ops/update incl. extent waste): "
+                f"{self.est_vpu_bound_gcells:.1f} GCell-updates/s "
+                f"-> {which}-bound at {bound:.1f}")
         if self.compile_seconds is not None:
             out.append(f"  compile wall-clock: {self.compile_seconds:.2f}s")
         return "\n".join(out)
 
 
-def analyze(plan: Plan, dtype_bytes: int = 4) -> CompileReport:
+def analyze(plan: Plan, dtype_bytes: int = 4, program=None) -> CompileReport:
     pj = plan.to_json()
     total_bytes = sum(g["hbm_bytes_per_call"] for g in pj["groups"])
     total_useful = max(sum(g["useful_cells_per_call"] for g in pj["groups"]), 1)
@@ -75,6 +86,13 @@ def analyze(plan: Plan, dtype_bytes: int = 4) -> CompileReport:
     ideal = pj.get("ideal_bytes_per_cell", 2 * dtype_bytes)
     frac = ideal / bpc if bpc > 0 else 0.0
     est = V5E_HBM_GBPS / bpc  # GB/s ÷ B/cell-update = Gcell-update/s
+    vpu_ops = vpu_bound = None
+    if program is not None:
+        from .opcount import ops_per_cell, vpu_bound_gcells
+
+        waste = max(g["compute_extent_ratio"] for g in pj["groups"])
+        vpu_ops = ops_per_cell(program) * max(waste, 1.0)
+        vpu_bound = vpu_bound_gcells(program, waste)
     return CompileReport(
         program=pj["program"],
         grid_shape=tuple(pj["grid_shape"]),
@@ -83,6 +101,8 @@ def analyze(plan: Plan, dtype_bytes: int = 4) -> CompileReport:
         ideal_bytes_per_cell_update=float(ideal),
         roofline_fraction=frac,
         est_gcells_per_s_v5e=est,
+        vpu_ops_per_update=vpu_ops,
+        est_vpu_bound_gcells=vpu_bound,
     )
 
 
