@@ -26,8 +26,6 @@ because the lane dim is never split across blocks).
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import Mapping
 
 import jax
@@ -458,12 +456,21 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
     return fn
 
 
+def _resolve_interpret(interpret) -> bool:
+    """interpret='auto' -> True off-TPU (CPU/GPU run the Mosaic interpreter),
+    False on TPU."""
+    if interpret == "auto":
+        return jax.default_backend() not in ("tpu",)
+    return bool(interpret)
+
+
 def build_fn(program: StencilProgram, the_plan: Plan | None = None,
              grid_shape: tuple[int, ...] | None = None,
-             interpret: bool = False, iterate: int | None = None,
+             interpret: bool | str = "auto", iterate: int | None = None,
              **plan_kwargs):
     """Build a jittable fn(inputs, params) -> outputs for the full program
     (all groups, all temporal chunks) on a fixed grid shape."""
+    interpret = _resolve_interpret(interpret)
     it = max(program.iterate if iterate is None else iterate, 1)
     if the_plan is None:
         if grid_shape is None:
@@ -509,7 +516,7 @@ def _check_io(program, inputs, params):
 
 
 def run(program: StencilProgram, inputs, params=None, *,
-        grid_shape=None, interpret=False, iterate=None, jit=True, **kw):
+        grid_shape=None, interpret="auto", iterate=None, jit=True, **kw):
     """Execute via Pallas; returns numpy outputs in declared dtypes."""
     import numpy as np
 

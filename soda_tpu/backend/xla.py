@@ -12,7 +12,6 @@ Semantics match the NumPy oracle: zero-fill taps, wide-int accumulators
 
 from __future__ import annotations
 
-import functools
 from typing import Mapping
 
 import jax

@@ -258,7 +258,6 @@ def main(argv=None) -> int:
 
         profile_ctx = None
         if args.profile:
-            import contextlib
             import jax
             profile_ctx = jax.profiler.trace(args.profile)
             profile_ctx.__enter__()

@@ -278,5 +278,4 @@ def _storage_dtype(ctx: EvalContext, t: ScalarType):
         # semantics for widths <= 16; full-range uint32 is documented as
         # unsupported on the TPU path)
         return xp.int32
-    import numpy as np
     return t.np_dtype()

@@ -15,9 +15,8 @@ Differences from the reference, by design (TPU-first):
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, Mapping
+from typing import Mapping
 
-import numpy as np
 
 from . import expr as ir
 from .types import ScalarType, promote

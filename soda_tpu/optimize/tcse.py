@@ -28,7 +28,6 @@ with `sodac --tcse` or `apply(program)`.
 from __future__ import annotations
 
 import itertools
-from typing import Iterable
 
 from ..ir import expr as ir
 from ..ir.program import StencilProgram, Tensor

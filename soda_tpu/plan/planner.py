@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Mapping
 
 from ..ir.program import StencilProgram
 
@@ -241,7 +240,8 @@ def _plan_group(
             yield tuple(block_override)
             return
         if rank == 2:
-            for bh in (256, 192, 128, 96, 64, 48, 32, 24, 16, 8):
+            for bh in (1024, 768, 512, 384, 256, 192, 128, 96, 64, 48,
+                       32, 24, 16, 8):
                 if bh % q == 0:
                     yield (bh, grid_shape[1])
         elif rank == 3:

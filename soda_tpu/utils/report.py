@@ -13,7 +13,6 @@ counts are exact by construction.
 from __future__ import annotations
 
 import dataclasses
-import json
 import time
 from typing import Any
 
