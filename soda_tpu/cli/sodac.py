@@ -70,6 +70,13 @@ def make_parser() -> argparse.ArgumentParser:
                     help="shard over a device mesh, e.g. --mesh 2,4")
     ap.add_argument("--compile-cache", type=str, default=None,
                     help="persistent XLA compilation cache directory")
+    ap.add_argument("--unroll-iterate", type=int, nargs="?", const=0,
+                    default=None, metavar="N",
+                    help="unroll N temporal sweeps into chained stage "
+                         "copies (the reference's iterate implementation); "
+                         "no N = unroll fully. Enables exact shrinking "
+                         "extents and the line-buffer march for iterate "
+                         "programs")
     ap.add_argument("--tcse", action="store_true",
                     help="computation-reuse rewrite (DAC'20 tcse analog): "
                          "hoist shifted repeated partial sums into stages; "
@@ -185,6 +192,12 @@ def main(argv=None) -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     program = parse_file(args.soda_src, overrides=_overrides(args))
+    updates_per_cell = 1
+    if args.unroll_iterate is not None:
+        from ..optimize.unroll import unroll_iterate
+        factor = args.unroll_iterate or max(program.iterate, 1)
+        program = unroll_iterate(program, factor)
+        updates_per_cell = factor
     if args.tcse:
         from ..optimize import tcse
         before = tcse.count_adds(program)
@@ -195,7 +208,8 @@ def main(argv=None) -> int:
 
     the_plan = make_plan(
         program, grid_shape, vmem_budget=args.vmem_budget,
-        sweeps=args.sweeps, block_override=args.block)
+        sweeps=args.sweeps, block_override=args.block,
+        updates_per_cell=updates_per_cell)
     logger.info("%s", the_plan.describe())
 
     did_something = False

@@ -191,6 +191,7 @@ def _plan_group(
     max_compute_waste: float,
     nf: int,
     block_override: tuple[int, ...] | None,
+    updates_per_cell: int = 1,
 ) -> GroupPlan | None:
     """Pick the best block for one fused stage group; None if infeasible."""
     rank = program.rank
@@ -295,7 +296,8 @@ def _plan_group(
                     padded *= grid[d] * block[d] + halo[i][d][0] + halo[i][d][1]
                 padded *= grid_shape[-1]
                 pad_bytes += (orig + padded) * io_bytes(i)
-        useful = math.prod(grid_shape) * nf * max(len(outputs), 1)
+        useful = (math.prod(grid_shape) * nf * max(len(outputs), 1)
+                  * updates_per_cell)
         max_ext = math.prod(block)
         if ext_inputs:
             i0 = ext_inputs[0]
@@ -366,7 +368,7 @@ def _plan_group(
                     continue
                 reads = Gy * (G + 1) * bz * wy * X * in_io
                 writes = Z * Y * X * out_io
-                useful = Z * Y * X * max(len(outputs), 1)
+                useful = Z * Y * X * max(len(outputs), 1) * updates_per_cell
                 waste = ((bz + rz_lo + rz_hi) * wy) / (bz * by)
                 bpc = (reads + writes) / useful
                 key = (bpc, -bz * by)
@@ -412,6 +414,7 @@ def plan(
     max_compute_waste: float = 3.0,
     sweeps: int | None = None,
     block_override: tuple[int, ...] | None = None,
+    updates_per_cell: int = 1,
 ) -> Plan:
     """Build an execution plan for `program` on a full grid of `grid_shape`.
 
@@ -434,7 +437,7 @@ def plan(
         return _plan_group(
             program, stages, grid_shape, vmem_budget=vmem_budget,
             max_compute_waste=max_compute_waste, nf=nf,
-            block_override=block_override)
+            block_override=block_override, updates_per_cell=updates_per_cell)
 
     # 1) whole-program fusion at the requested sweep count, backing off
     #    sweeps on halo blowup (fused sweeps can never exceed iterate)
@@ -469,7 +472,7 @@ def plan(
         gp = _plan_group(
             program, trial, grid_shape, vmem_budget=vmem_budget,
             max_compute_waste=max_compute_waste, nf=1,
-            block_override=block_override)
+            block_override=block_override, updates_per_cell=updates_per_cell)
         if gp is not None:
             cur, cur_plan = trial, gp
             continue
@@ -482,7 +485,7 @@ def plan(
         cur_plan = _plan_group(
             program, cur, grid_shape, vmem_budget=vmem_budget,
             max_compute_waste=max_compute_waste, nf=1,
-            block_override=block_override)
+            block_override=block_override, updates_per_cell=updates_per_cell)
         if cur_plan is None:
             raise ValueError(
                 f"stage {s!r} alone does not fit vmem budget {vmem_budget} "

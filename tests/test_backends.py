@@ -205,3 +205,23 @@ def test_multi_output_program():
     check(p, got, gold)
     got_x = xla_backend.run(p, {"f": x})
     check(p, got_x, gold)
+
+
+def test_unroll_iterate_equivalence():
+    """Temporal unrolling (the reference's iterate implementation) must
+    match the fused-loop execution and the oracle."""
+    from soda_tpu.optimize.unroll import unroll_iterate
+    p = parse_file(SODA / "jacobi2d.soda")  # iterate 8
+    q = unroll_iterate(p)
+    assert q.iterate == 1 and len(q.stage_order()) == 8
+    x = rng.standard_normal((48, 128)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    got_interp = numpy_interp.run(q, {"t0": x})
+    check(p, {"t1": got_interp["t1"]}, gold)
+    got_pallas = pallas_backend.run(q, {"t0": x}, interpret=True)
+    check(p, got_pallas, gold)
+    # partial unroll: 2 sweeps per copy-chain, iterate 4 remains
+    h = unroll_iterate(p, 2)
+    assert h.iterate == 4 and len(h.stage_order()) == 2
+    got_h = pallas_backend.run(h, {"t0": x}, interpret=True)
+    check(p, got_h, gold)
