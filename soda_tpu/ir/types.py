@@ -105,14 +105,16 @@ class ScalarType:
         return jnp.int32 if self.is_signed else jnp.uint32
 
     def tpu_storage_dtype(self):
-        """HBM storage dtype on the TPU path: narrow ints live in 16-bit
-        containers (halving HBM traffic, the reference streams uint16 at
-        2 B/cell); everything else 32-bit.  Compute always widens to
-        int32/float32 in-kernel."""
+        """HBM storage dtype on the TPU path: narrow ints live in the
+        smallest native container (8/16/32-bit — matching the reference's
+        1-2 B/cell DRAM line rates); compute always widens to int32/float32
+        in-kernel."""
         import jax.numpy as jnp
 
         if self.kind == "float":
             return jnp.float32  # half computes/stores as f32 on TPU (doc'd)
+        if self.width <= 8:
+            return jnp.uint8 if self.kind == "uint" else jnp.int8
         if self.width <= 16:
             return jnp.uint16 if self.kind == "uint" else jnp.int16
         return jnp.uint32 if self.kind == "uint" else jnp.int32
@@ -121,13 +123,15 @@ class ScalarType:
     def tpu_storage_bytes(self) -> int:
         if self.kind == "float":
             return 4
+        if self.width <= 8:
+            return 1
         return 2 if self.width <= 16 else 4
 
     @property
     def sublane_quantum(self) -> int:
         """Min sublane tile of the TPU storage dtype (8 for 32-bit,
-        16 for 16-bit containers)."""
-        return 16 if self.tpu_storage_bytes == 2 else 8
+        16 for 16-bit, 32 for 8-bit containers)."""
+        return {1: 32, 2: 16, 4: 8}[self.tpu_storage_bytes]
 
     # ---- C++ mapping (golden runner) --------------------------------------
 

@@ -225,3 +225,30 @@ def test_unroll_iterate_equivalence():
     assert h.iterate == 4 and len(h.stage_order()) == 2
     got_h = pallas_backend.run(h, {"t0": x}, interpret=True)
     check(p, got_h, gold)
+
+
+def test_operator_coverage_program():
+    """One program exercising every DSL operator, agreed across backends."""
+    from soda_tpu.frontend.parser import parse
+    src = (
+        "kernel: ops\n"
+        "input int16: a(64, *)\n"
+        "local int32: t(0,0) = ((a(0,0) << 2) >> 1) & 0xff | (a(0,1) ^ 3)\n"
+        "local int32: u(0,0) = (t(0,0) > 10 && t(0,-1) < 100) ? -t(0,0)"
+        " : ~t(1,0) % 7\n"
+        "local float: v(0,0) = float(u(0,0)) / 3.0f + sqrt(abs(float(a(0,0))))"
+        " - min(float(t(0,0)), 5.0f) * max(1.0f, float(!u(0,1)))\n"
+        "output int16: out(0,0) = int16(v(0,0)) + int16(pow(2.0f, 3.0f))\n"
+    )
+    p = parse(src)
+    x = rng.integers(-100, 100, (32, 48)).astype(np.int16)
+    gold = numpy_interp.run(p, {"a": x})
+    rim = p.valid_rim()
+    got_x = xla_backend.run(p, {"a": x})
+    got_p = pallas_backend.run(p, {"a": x}, interpret=True)
+    for got in (got_x, got_p):
+        g = interior(got["out"], rim).astype(np.float64)
+        e = interior(gold["out"], rim).astype(np.float64)
+        # float->int truncation may differ by 1 ulp at exact boundaries
+        assert np.mean(np.abs(g - e) <= 1) > 0.999
+        assert np.max(np.abs(g - e)) <= 1
