@@ -261,14 +261,18 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
                 for d in range(n_tiled):
                     B = block[d]
                     D = grid_shape[d]
+                    # center clamps so the last (possibly partial) block
+                    # overlaps its predecessor: overlapping recompute is
+                    # idempotent, so D need only be tile-quantum aligned
+                    center = jnp.minimum(gidx[d] * B, D - B)
                     if _kinds[d] == 0:
-                        out.append(gidx[d] * B)
+                        out.append(pl.multiple_of(center, 8))
                     elif _kinds[d] == -1:
                         out.append(pl.multiple_of(
-                            jnp.maximum(gidx[d] * B - _h[d][0], 0), 8))
+                            jnp.maximum(center - _h[d][0], 0), 8))
                     else:
                         out.append(pl.multiple_of(
-                            jnp.minimum((gidx[d] + 1) * B, D - _h[d][1]), 8))
+                            jnp.minimum(center + B, D - _h[d][1]), 8))
                 out.append(0)
                 return tuple(out)
 
@@ -280,10 +284,16 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
     for _ in param_names:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
-    out_block = tuple(block[:n_tiled]) + (X,)
+    def out_imap(*gidx):
+        return tuple(
+            pl.multiple_of(
+                jnp.minimum(gidx[d] * block[d], grid_shape[d] - block[d]), 8)
+            for d in range(n_tiled)) + (0,)
+
     out_specs = [
-        pl.BlockSpec(out_block, lambda *gidx: tuple(gidx) + (0,),
-                     memory_space=pltpu.VMEM)
+        pl.BlockSpec(tuple(pl.Element(b) for b in block[:n_tiled])
+                     + (pl.Element(X),),
+                     out_imap, memory_space=pltpu.VMEM)
         for _ in g.outputs
     ]
     out_shapes = [

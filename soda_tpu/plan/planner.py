@@ -321,8 +321,22 @@ def _plan_group(
             key = (bpc, -math.prod(block))
             if best is None or key < best[0]:
                 best = (key, block, ev, "windows")
-        # pad-free strips variant: needs exactly divisible grid dims
-        if all(grid_shape[d] % block[d] == 0 for d in range(rank - 1)):
+        # pad-free strips variant: grid dims need only be tile-quantum
+        # aligned (the last block clamps and overlaps — idempotent
+        # recompute), provided any remainder can host the hi halo strip
+        def strips_ok():
+            for d in range(rank - 1):
+                D, B = grid_shape[d], block[d]
+                if D % q != 0 or D < B:
+                    return False
+                rem = D % B
+                hmax = max((halo_strips[i][d][1] for i in ext_inputs),
+                           default=0)
+                if rem and rem < hmax:
+                    return False
+            return True
+
+        if strips_ok():
             evs = evaluate(block, halo_strips, strips=True)
             if evs["vmem"] <= vmem_budget and not (
                     evs["waste"] > max_compute_waste and nf > 1):

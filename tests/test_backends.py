@@ -252,3 +252,18 @@ def test_operator_coverage_program():
         # float->int truncation may differ by 1 ulp at exact boundaries
         assert np.mean(np.abs(g - e) <= 1) > 0.999
         assert np.max(np.abs(g - e)) <= 1
+
+
+def test_strips_nondivisible_q_aligned_grid():
+    """Strips with a q-aligned but non-block-divisible grid: the clamped
+    last block overlaps and recomputes idempotently."""
+    from soda_tpu.plan.planner import plan as make_plan
+    p = parse_file(SODA / "jacobi2d.soda")
+    shape = (200, 384)  # 200 = 8*25, not divisible by big blocks
+    pl_ = make_plan(p, shape)
+    assert pl_.groups[0].strategy == "strips", pl_.describe()
+    assert pl_.groups[0].block[0] * pl_.groups[0].grid[0] >= 200
+    x = rng.standard_normal(shape).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    got = pallas_backend.run(p, {"t0": x}, interpret=True)
+    check(p, got, gold)
