@@ -135,3 +135,24 @@ def test_sharded_pallas_iterate():
                       local_backend="pallas", interpret=True,
                       sweeps_per_exchange=2)
     check(p, got, gold)
+
+
+def test_overlap_mode_equals_synchronous():
+    """Comms/compute-overlap mode must give identical results to the
+    synchronous path (interior from local data, boundary from the
+    exchanged halo)."""
+    for name, it_kwargs in (("jacobi2d", {}), ("blur", {})):
+        p = parse_file(SODA / f"{name}.soda")
+        shape = (64, 96)
+        x = (rng.standard_normal(shape).astype(np.float32)
+             if p.tensors[p.input_names[0]].type.is_float else
+             rng.integers(0, 60000, shape).astype(np.uint16))
+        ins = {p.input_names[0]: x}
+        sync = run_sharded(p, ins, axis_sizes=[4], dims=[0])
+        over = run_sharded(p, ins, axis_sizes=[4], dims=[0], overlap=True)
+        for k in sync:
+            assert np.allclose(sync[k].astype(np.float64),
+                               over[k].astype(np.float64),
+                               rtol=1e-6, atol=1e-6), (name, k)
+        gold = numpy_interp.run(p, ins)
+        check(p, over, gold)
