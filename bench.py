@@ -26,6 +26,14 @@ REPS = 10
 
 def main() -> int:
     import jax
+
+    # persistent compilation cache: repeat driver runs skip the multi-
+    # minute Mosaic compile
+    cache = pathlib.Path(__file__).resolve().parent / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     import jax.numpy as jnp
     import numpy as np
 

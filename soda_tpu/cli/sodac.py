@@ -196,6 +196,11 @@ def main(argv=None) -> int:
     if args.unroll_iterate is not None:
         from ..optimize.unroll import unroll_iterate
         factor = args.unroll_iterate or max(program.iterate, 1)
+        if factor >= 8:
+            logger.warning(
+                "unroll factor %d creates a %d-deep stage chain; Mosaic "
+                "compile time grows steeply beyond ~4 (see TODO.md)",
+                factor, factor * len(program.stage_order()))
         program = unroll_iterate(program, factor)
         updates_per_cell = factor
     if args.tcse:
