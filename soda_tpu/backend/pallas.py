@@ -335,7 +335,6 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
         values = {}
         for name in g.external_inputs:
             ps = pieces[name]
-            kind_lists = sorted({k for k in ps})
             # assemble: concat along dims from last tiled dim to first
             def assemble(prefix: tuple[int, ...], d: int):
                 if d == n_tiled:

@@ -330,9 +330,16 @@ def _plan_group(
                 if D % q != 0 or D < B:
                     return False
                 rem = D % B
-                hmax = max((halo_strips[i][d][1] for i in ext_inputs),
-                           default=0)
-                if rem and rem < hmax:
+                hmax_lo = max((halo_strips[i][d][0] for i in ext_inputs),
+                              default=0)
+                hmax_hi = max((halo_strips[i][d][1] for i in ext_inputs),
+                              default=0)
+                # strip starts clamp against the array ends; an interior
+                # block's strip must never hit the clamp, so the block must
+                # be at least as wide as the halo on each side
+                if B < hmax_lo or B < hmax_hi:
+                    return False
+                if rem and rem < hmax_hi:
                     return False
             return True
 

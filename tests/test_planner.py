@@ -140,3 +140,18 @@ def test_multi_group_split_under_pressure():
         assert set(g.external_inputs) <= produced
         produced |= set(g.outputs)
     assert set(p.output_names) <= produced
+
+
+def test_strips_rejects_halo_wider_than_block():
+    """A strip halo wider than the block would misalign against the clamp;
+    such plans must never be produced (fall back to windows/chunking)."""
+    p = parse_file(SODA / "jacobi2d.soda")  # iterate 8, radius 1
+    for shape in ((32, 128), (64, 128), (200, 384), (48, 128)):
+        pl = plan(p, shape)
+        for g in pl.groups:
+            if g.strategy != "strips":
+                continue
+            for i in g.external_inputs:
+                for d in range(p.rank - 1):
+                    assert g.halo[i][d][0] <= g.block[d]
+                    assert g.halo[i][d][1] <= g.block[d]
