@@ -151,7 +151,16 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
             v, vt = eval_expr(t.expr, ctx)
             values[name] = store_cast(ctx, v, vt, t.type)
         for name, ref in zip(g.outputs, out_refs):
-            ref[:] = values[name].astype(ref.dtype)
+            v = values[name]
+            # a group output that is ALSO consumed inside the group is
+            # materialized at its extended span; write only the block
+            sp = g.spans.get(name, tuple((0, 0) for _ in range(rank)))
+            if any(sp[d] != (0, 0) for d in range(rank - 1)):
+                center = tuple(
+                    slice(-sp[d][0], -sp[d][0] + block[d])
+                    for d in range(rank - 1)) + (slice(None),)
+                v = v[center]
+            ref[:] = v.astype(ref.dtype)
     else:
         # constant-extent fused sweeps (single input/output enforced by
         # program validation): zero-fill taps; invalid values creep one
@@ -480,6 +489,7 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
     """Build a jittable fn(inputs, params) -> outputs for the full program
     (all groups, all temporal chunks) on a fixed grid shape."""
     interpret = _resolve_interpret(interpret)
+    check_tpu_supported(program)
     it = max(program.iterate if iterate is None else iterate, 1)
     if the_plan is None:
         if grid_shape is None:
@@ -511,6 +521,36 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
     return fn
 
 
+def check_tpu_supported(program: StencilProgram) -> None:
+    """Loud rejection of types the TPU compute path cannot represent
+    (the oracles support them; see ir/types.py docstring)."""
+    for n, t in program.tensors.items():
+        ty = t.type
+        if ty.is_int and ty.width > 32:
+            raise NotImplementedError(
+                f"tensor {n!r} is {ty}: integer widths > 32 are not "
+                f"supported on the TPU path (int32 accumulators); use the "
+                f"NumPy or C++ oracle backends")
+
+
+def finalize_outputs(program: StencilProgram, outs) -> dict:
+    """Convert backend outputs to declared storage dtypes with narrow-
+    width mask + sign extension (shared by pallas/xla/mesh run paths)."""
+    import numpy as np
+
+    res = {}
+    for n, v in outs.items():
+        t = program.tensors[n].type
+        a = np.asarray(v)
+        if t.is_int and t.needs_mask:
+            a = a & ((1 << t.width) - 1)
+            if t.kind == "int":
+                sign = 1 << (t.width - 1)
+                a = (a ^ sign) - sign
+        res[n] = a.astype(t.np_dtype())
+    return res
+
+
 def _check_io(program, inputs, params):
     missing = [n for n in program.input_names if n not in inputs]
     if missing:
@@ -525,7 +565,8 @@ def _check_io(program, inputs, params):
 
 
 def run(program: StencilProgram, inputs, params=None, *,
-        grid_shape=None, interpret="auto", iterate=None, jit=True, **kw):
+        grid_shape=None, interpret="auto", iterate=None, jit=True,
+        the_plan=None, **kw):
     """Execute via Pallas; returns numpy outputs in declared dtypes."""
     import numpy as np
 
@@ -533,19 +574,9 @@ def run(program: StencilProgram, inputs, params=None, *,
     _check_io(program, inputs, params)
     if grid_shape is None:
         grid_shape = tuple(np.asarray(next(iter(inputs.values()))).shape)
-    fn = build_fn(program, grid_shape=grid_shape, interpret=interpret,
-                  iterate=iterate, **kw)
+    fn = build_fn(program, the_plan=the_plan, grid_shape=grid_shape,
+                  interpret=interpret, iterate=iterate, **kw)
     if jit:
         fn = jax.jit(fn)
     outs = fn({k: jnp.asarray(v) for k, v in inputs.items()}, params)
-    res = {}
-    for n, v in outs.items():
-        t = program.tensors[n].type
-        a = np.asarray(v)
-        if t.is_int and t.needs_mask:
-            a = a & ((1 << t.width) - 1)
-            if t.kind == "int":
-                sign = 1 << (t.width - 1)
-                a = (a ^ sign) - sign
-        res[n] = a.astype(t.np_dtype())
-    return res
+    return finalize_outputs(program, outs)

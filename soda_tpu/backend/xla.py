@@ -97,21 +97,11 @@ def run(
     """Execute and return numpy outputs in declared storage dtypes."""
     import numpy as np
 
-    from .pallas import _check_io
+    from .pallas import _check_io, finalize_outputs
 
     _check_io(program, inputs, params or {})
     fn = build_fn(program, iterate)
     if jit:
         fn = jax.jit(fn)
     outs = fn(dict(inputs), dict(params or {}))
-    res = {}
-    for n, v in outs.items():
-        t = program.tensors[n].type
-        a = np.asarray(v)
-        if t.is_int and t.needs_mask:
-            a = a & ((1 << t.width) - 1)
-            if t.kind == "int":
-                sign = 1 << (t.width - 1)
-                a = ((a ^ sign) - sign)
-        res[n] = a.astype(t.np_dtype())
-    return res
+    return finalize_outputs(program, outs)

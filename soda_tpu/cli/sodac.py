@@ -196,6 +196,10 @@ def main(argv=None) -> int:
     if args.unroll_iterate is not None:
         from ..optimize.unroll import unroll_iterate
         factor = args.unroll_iterate or max(program.iterate, 1)
+        if program.iterate <= 1 or factor <= 1:
+            logger.warning("--unroll-iterate has no effect: iterate=%d",
+                           program.iterate)
+            factor = 1
         if factor >= 8:
             logger.warning(
                 "unroll factor %d creates a %d-deep stage chain; Mosaic "
@@ -287,10 +291,8 @@ def main(argv=None) -> int:
             outs = run_sharded(program, ins, ps, axis_sizes=args.mesh)
         elif args.backend == "pallas":
             from ..backend import pallas as pb
-            outs = pb.run(program, ins, ps, grid_shape=grid_shape,
-                          interpret=args.interpret,
-                          vmem_budget=args.vmem_budget,
-                          block_override=args.block)
+            outs = pb.run(program, ins, ps, the_plan=the_plan,
+                          interpret=args.interpret)
         elif args.backend == "xla":
             from ..backend import xla as xb
             outs = xb.run(program, ins, ps)
@@ -323,8 +325,7 @@ def main(argv=None) -> int:
             from ..backend import pallas as pb
             import jax.numpy as jnp
             fn = jax.jit(pb.build_fn(
-                program, grid_shape=grid_shape, interpret=args.interpret,
-                vmem_budget=args.vmem_budget, block_override=args.block))
+                program, the_plan=the_plan, interpret=args.interpret))
             jins = {k: jnp.asarray(v) for k, v in ins.items()}
             jps = {k: jnp.asarray(v) for k, v in ps.items()}
             out = fn(jins, jps)

@@ -97,7 +97,7 @@ _FLOAT_FNS = {
     "sqrt": "sqrt", "rsqrt": None, "exp": "exp", "exp2": "exp2",
     "log": "log", "log2": "log2", "sin": "sin", "cos": "cos",
     "tan": "tan", "tanh": "tanh", "floor": "floor", "ceil": "ceil",
-    "round": "round", "fabs": "abs",
+    "fabs": "abs",
 }
 
 
@@ -201,7 +201,10 @@ def eval_expr(e: ir.Expr, ctx: EvalContext) -> tuple[Any, ScalarType]:
             return _c_div(xp, a, b), t
         if op == "%":
             if t.is_float:
-                return xp.mod(a, b), t
+                # C fmod: truncated division, sign of the dividend
+                # (xp.mod is floor modulo — sign of divisor — and would
+                # disagree with the C++ golden runner)
+                return a - xp.trunc(a / b) * b, t
             return _c_mod(xp, a, b), t
         if op in ("&", "|", "^"):
             v = {"&": xp.bitwise_and, "|": xp.bitwise_or, "^": xp.bitwise_xor}[op](a, b)
@@ -235,6 +238,13 @@ def eval_expr(e: ir.Expr, ctx: EvalContext) -> tuple[Any, ScalarType]:
             v = _coerce_to(ctx, *vals[0], t)
             one = xp.asarray(1.0, dtype=ctx.float_dtype(t.width))
             return one / xp.sqrt(v), t
+        if e.fn == "round":
+            # C std::round: half away from zero (np/jnp.round is banker's
+            # rounding and would disagree with the C++ golden runner)
+            t = promote(vals[0][1], FLOAT32)
+            v = _coerce_to(ctx, *vals[0], t)
+            half = xp.where(v >= 0, 0.5, -0.5).astype(v.dtype)
+            return xp.trunc(v + half), t
         if e.fn in _FLOAT_FNS:
             t = promote(vals[0][1], FLOAT32)
             v = _coerce_to(ctx, *vals[0], t)

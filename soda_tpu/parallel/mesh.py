@@ -291,16 +291,8 @@ def run_sharded(
         local_backend=local_backend, interpret=interpret, overlap=overlap)
     if jit:
         fn = jax.jit(fn)
+    from ..backend.pallas import finalize_outputs
+
     params = {k: jnp.asarray(v) for k, v in (params or {}).items()}
     outs = fn({k: jnp.asarray(v) for k, v in inputs.items()}, params)
-    res = {}
-    for n, v in outs.items():
-        t = program.tensors[n].type
-        a = np.asarray(v)
-        if t.is_int and t.needs_mask:
-            a = a & ((1 << t.width) - 1)
-            if t.kind == "int":
-                sign = 1 << (t.width - 1)
-                a = (a ^ sign) - sign
-        res[n] = a.astype(t.np_dtype())
-    return res
+    return finalize_outputs(program, outs)

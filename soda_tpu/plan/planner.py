@@ -373,6 +373,10 @@ def _plan_group(
                 hy = 0 if by == Y else _round_up(ry, q)
                 if by != Y and hy == 0 and ry > 0:
                     hy = q
+                # interior y-strips clamp against the array ends; the halo
+                # must fit within the block or clamped strips misalign
+                if hy > by:
+                    continue
                 wy = by + 2 * hy
                 Gy = Y // by
                 block = (bz, by, X)
@@ -461,8 +465,14 @@ def plan(
             block_override=block_override, updates_per_cell=updates_per_cell)
 
     # 1) whole-program fusion at the requested sweep count, backing off
-    #    sweeps on halo blowup (fused sweeps can never exceed iterate)
+    #    sweeps on halo blowup (fused sweeps must divide iterate — a
+    #    non-divisor would silently under-execute sweeps in chunked calls)
     nf = it if sweeps is None else max(1, min(sweeps, it))
+    while it % nf != 0:
+        nf -= 1
+    if sweeps is not None and nf != sweeps:
+        notes.append(f"requested sweeps {sweeps} adjusted to divisor {nf} "
+                     f"of iterate {it}")
     g = whole(nf)
     while g is None and nf > 1:
         nf = max(1, nf // 2)

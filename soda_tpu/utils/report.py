@@ -74,12 +74,9 @@ def analyze(plan: Plan, dtype_bytes: int = 4, program=None) -> CompileReport:
     pj = plan.to_json()
     total_bytes = sum(g["hbm_bytes_per_call"] for g in pj["groups"])
     total_useful = max(sum(g["useful_cells_per_call"] for g in pj["groups"]), 1)
-    # chained chunk calls repeat the group traffic
-    chunks = 1
-    for n in pj["notes"]:
-        if "kernel call(s)" in n:
-            chunks = int(n.split("as ")[1].split(" kernel")[0])
-    bpc = chunks * total_bytes / (chunks * total_useful)
+    # chunked iterate calls scale bytes and useful cells equally, so the
+    # per-update ratio needs no chunk factor
+    bpc = total_bytes / total_useful
     # per-sweep ideal: program inputs read + outputs written once, in their
     # TPU storage dtypes (narrow ints stream at 2 B/cell like the reference)
     ideal = pj.get("ideal_bytes_per_cell", 2 * dtype_bytes)

@@ -267,3 +267,66 @@ def test_strips_nondivisible_q_aligned_grid():
     gold = numpy_interp.run(p, {"t0": x})
     got = pallas_backend.run(p, {"t0": x}, interpret=True)
     check(p, got, gold)
+
+
+def test_sweeps_nondivisor_adjusted_not_underexecuted():
+    """Requested sweeps that don't divide iterate must be adjusted, never
+    silently under-executing sweeps (iterate=10, sweeps=3 -> 9 bug)."""
+    from soda_tpu.frontend.parser import parse
+    from soda_tpu.plan.planner import plan as make_plan
+    p = parse(
+        "kernel: t\niterate: 10\ninput float: a(64, *)\n"
+        "output float: b(0,0) = (a(-1,0) + a(0,0) + a(1,0)) / 3.0f\n")
+    pl = make_plan(p, (64, 128), sweeps=3)
+    assert 10 % pl.groups[0].sweeps == 0
+    x = rng.standard_normal((64, 128)).astype(np.float32)
+    gold = numpy_interp.run(p, {"a": x})
+    fn = pallas_backend.build_fn(p, the_plan=pl, interpret=True)
+    import jax.numpy as jnp
+    got = {"b": np.asarray(fn({"a": jnp.asarray(x)}, {})["b"])}
+    check(p, got, gold)
+
+
+def test_output_consumed_within_group():
+    """A program output read by another stage in the same fused group must
+    write only its block (it materializes at an extended span)."""
+    from soda_tpu.frontend.parser import parse
+    p = parse(
+        "kernel: t\ninput float: a(64, *)\n"
+        "output float: o1(0,0) = (a(-1,0) + a(0,0) + a(1,0)) / 3.0f\n"
+        "output float: o2(0,0) = (o1(0,-1) + o1(0,0) + o1(0,1)) / 3.0f\n")
+    x = rng.standard_normal((48, 128)).astype(np.float32)
+    gold = numpy_interp.run(p, {"a": x})
+    got = pallas_backend.run(p, {"a": x}, interpret=True)
+    check(p, got, gold)
+
+
+def test_float_mod_and_round_c_semantics():
+    """Float % is C fmod (sign of dividend) and round() is half-away-from-
+    zero — bit-exact against the C++ golden runner."""
+    from soda_tpu.frontend.parser import parse
+    p = parse(
+        "kernel: t\ninput float: a(64, *)\n"
+        "local float: m(0,0) = a(0,0) % 2.0f\n"
+        "output float: r(0,0) = round(m(0,0) * 2.0f) + round(a(0,0))\n")
+    x = np.array([[-1.5, 1.5, -2.5, 2.5, 0.25, -0.75, 3.75, -3.25]],
+                 dtype=np.float32)
+    gold = numpy_interp.run(p, {"a": x})
+    got_x = xla_backend.run(p, {"a": x})
+    assert np.array_equal(got_x["r"], gold["r"])
+    if shutil.which("g++"):
+        import tempfile
+        got_c = cpp_backend.compile_and_run(p, {"a": x},
+                                            workdir=tempfile.mkdtemp())
+        assert np.array_equal(got_c["r"], gold["r"]), (got_c["r"], gold["r"])
+
+
+def test_wide_int_rejected_on_tpu_path():
+    from soda_tpu.frontend.parser import parse
+    p = parse("kernel: t\ninput int64: a(8, *)\noutput int64: b(0,0) = a(0,0) + 1\n")
+    x = np.arange(16, dtype=np.int64).reshape(2, 8)
+    # oracle supports it
+    out = numpy_interp.run(p, {"a": x})["b"]
+    assert out.dtype == np.int64
+    with pytest.raises(NotImplementedError, match="widths > 32"):
+        pallas_backend.run(p, {"a": x}, interpret=True)
