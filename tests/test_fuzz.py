@@ -104,3 +104,25 @@ def test_fuzz_cpp_bit_exact(seed, tmp_path):
     gold = numpy_interp.run(p, {"a": x})["out"]
     got = cpp_backend.compile_and_run(p, {"a": x}, workdir=tmp_path)["out"]
     assert np.array_equal(got, gold), f"C++ mismatch:\n{src}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_tcse_preserves_semantics(seed):
+    """tcse applied to random programs stays interior-equal (exact for
+    ints, tolerance for floats)."""
+    from soda_tpu.optimize import tcse
+
+    rng = random.Random(7000 + seed)
+    src = gen_program(rng, 2)
+    p = parse(src)
+    q = tcse.apply(p)
+    x = make_input(p, (32, 48), np.random.default_rng(seed))
+    a = numpy_interp.run(p, {"a": x})["out"]
+    b = numpy_interp.run(q, {"a": x})["out"]
+    rim = max(p.valid_rim(), q.valid_rim())
+    ga = interior(a, rim).astype(np.float64)
+    gb = interior(b, rim).astype(np.float64)
+    if p.tensors["a"].type.is_int:
+        assert np.array_equal(ga, gb), f"tcse int mismatch:\n{src}"
+    else:
+        assert np.allclose(ga, gb, rtol=1e-4, atol=1e-4), f"tcse:\n{src}"
