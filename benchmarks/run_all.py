@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark table for the whole corpus at production sizes.
+
+Prints, per program: chosen strategy, block, analytic B/cell-update, % of
+its dtype-aware HBM roofline, estimated v5e GCell-updates/s at the HBM and
+VPU bounds, and (with --measure, on real silicon) wall-clock.
+
+Analytic numbers are exact byte counts from the plan; wall-clock on
+timing-emulated devices is labeled as such (BASELINE.md caveat).
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+CONFIGS = [
+    # (program, grid shape, iterate override or None)
+    ("blur", (2048, 4096), None),
+    ("sobel2d", (2048, 4096), None),
+    ("denoise2d", (2048, 4096), None),
+    ("gaussian2d", (2048, 4096), None),
+    ("laplace2d", (2048, 4096), None),
+    ("erode2d", (2048, 4096), None),
+    ("conv5x5", (2048, 4096), None),
+    ("jacobi2d", (2048, 2048), None),          # iterate 8 from the DSL
+    ("seidel2d", (2048, 2048), None),          # iterate 4
+    ("jacobi3d", (512, 512, 512), None),       # headline single sweep
+    ("jacobi3d", (512, 512, 512), 8),          # temporal fusion
+    ("heat3d", (256, 256, 256), None),         # iterate 4
+    ("denoise3d", (256, 256, 256), None),
+    ("gradmag3d", (256, 256, 512), None),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--measure", action="store_true",
+                    help="also run wall-clock on the attached device")
+    args = ap.parse_args()
+
+    from soda_tpu.frontend.parser import parse_file
+    from soda_tpu.plan.planner import plan as make_plan
+    from soda_tpu.utils.report import analyze
+
+    here = pathlib.Path(__file__).resolve().parents[1] / "tests" / "soda"
+
+    hdr = (f"{'program':<12} {'grid':<16} {'it':>3} {'strategy':<10} "
+           f"{'block':<16} {'B/upd':>7} {'%roof':>6} {'HBM G/s':>8} "
+           f"{'VPU G/s':>8}")
+    print(hdr)
+    print("-" * len(hdr))
+    for name, shape, it in CONFIGS:
+        ov = {"iterate": it} if it else None
+        program = parse_file(here / f"{name}.soda", overrides=ov)
+        pl = make_plan(program, shape)
+        rep = analyze(pl, program=program)
+        g = pl.groups[0]
+        line = (f"{name:<12} {'x'.join(map(str, shape)):<16} "
+                f"{max(program.iterate,1):>3} {g.strategy:<10} "
+                f"{'x'.join(map(str, g.block)):<16} "
+                f"{rep.bytes_per_cell_update:>7.2f} "
+                f"{100*rep.roofline_fraction:>5.0f}% "
+                f"{rep.est_gcells_per_s_v5e:>8.1f} "
+                f"{rep.est_vpu_bound_gcells:>8.1f}")
+        if args.measure:
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            from soda_tpu.backend import pallas as pb
+
+            ins = {}
+            rng = np.random.default_rng(0)
+            for n in program.input_names:
+                t = program.tensors[n].type
+                ins[n] = (rng.standard_normal(shape).astype(t.np_dtype())
+                          if t.is_float else
+                          rng.integers(0, 200, shape).astype(t.np_dtype()))
+            ps = {p.name: rng.standard_normal(p.shape).astype(p.type.np_dtype())
+                  for p in program.params.values()}
+            fn = jax.jit(pb.build_fn(program, the_plan=pl))
+            jins = {k: jnp.asarray(v) for k, v in ins.items()}
+            jps = {k: jnp.asarray(v) for k, v in ps.items()}
+            out = fn(jins, jps)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = fn(jins, jps)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / 3
+            import math
+            updates = math.prod(shape) * max(program.iterate, 1)
+            line += f"  wall {updates/dt/1e9:>8.1f} G/s"
+        print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
