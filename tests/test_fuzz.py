@@ -126,3 +126,48 @@ def test_fuzz_tcse_preserves_semantics(seed):
         assert np.array_equal(ga, gb), f"tcse int mismatch:\n{src}"
     else:
         assert np.allclose(ga, gb, rtol=1e-4, atol=1e-4), f"tcse:\n{src}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+def test_fuzz_cpp_bit_exact_3d(seed, tmp_path):
+    rng = random.Random(500 + seed)
+    src = gen_program(rng, 3)
+    p = parse(src)
+    x = make_input(p, (10, 12, 16), np.random.default_rng(seed))
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = cpp_backend.compile_and_run(p, {"a": x}, workdir=tmp_path)["out"]
+    assert np.array_equal(got, gold), f"C++ 3D mismatch:\n{src}"
+
+
+def gen_two_input_program(rng: random.Random) -> str:
+    lines = ["kernel: fuzz2", "input float: a(64, *)", "input float: b(64, *)"]
+
+    def off():
+        return f"{rng.randint(-2, 2)}, {rng.randint(-2, 2)}"
+
+    expr = " + ".join(
+        f"{rng.choice(['a', 'b'])}({off()}) * {round(rng.uniform(-2, 2), 3)}f"
+        for _ in range(rng.randint(3, 6)))
+    lines.append(f"local float: s0(0, 0) = {expr}")
+    expr2 = " + ".join(
+        f"{rng.choice(['a', 'b', 's0'])}({off()})" for _ in range(3))
+    lines.append(f"output float: out(0, 0) = {expr2}")
+    return "\n".join(lines) + "\n"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_two_inputs(seed):
+    rng = random.Random(9000 + seed)
+    src = gen_two_input_program(rng)
+    p = parse(src)
+    rnp = np.random.default_rng(seed)
+    a = rnp.standard_normal((32, 48)).astype(np.float32)
+    b = rnp.standard_normal((32, 48)).astype(np.float32)
+    gold = numpy_interp.run(p, {"a": a, "b": b})["out"]
+    rim = p.valid_rim()
+    got = pallas_backend.run(p, {"a": a, "b": b}, interpret=True,
+                             vmem_budget=2 * 2**20)["out"]
+    assert np.allclose(interior(got, rim).astype(np.float64),
+                       interior(gold, rim).astype(np.float64),
+                       rtol=1e-4, atol=1e-4), f"two-input mismatch:\n{src}"
