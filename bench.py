@@ -1,15 +1,27 @@
 #!/usr/bin/env python
-"""Headline benchmark: jacobi-3d 512^3 on one TPU chip.
+"""Headline benchmark: jacobi-3d 512^3 single sweep on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline (BASELINE.md): 82 GCell/s = 80% of the single-sweep HBM roofline
-(819 GB/s ÷ 8 B/cell) on a v5e.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Measures wall-clock GCell-updates/s of the compiled Pallas kernel for the
-single-sweep jacobi-3d 512^3 config (the BASELINE.json headline).  NOTE
-(BASELINE.md caveat): on timing-emulated devices wall-clock overstates
-physical throughput; the compile report (sodac --report) carries the
-analytic traffic numbers (8.78 B/cell -> 91% roofline single-sweep).
+Headline metric (defensible on any silicon): analytic % of the single-sweep
+HBM roofline — planned HBM bytes per cell-update (exact by construction:
+the planner counts every DMA'd block incl. halo re-reads) vs the 8 B/cell
+ideal (one f32 read + one f32 write).  BASELINE.md's reference number is
+80% of roofline (82 GCell/s on a 819 GB/s v5e), so vs_baseline is the
+roofline-fraction ratio and is hardware-independent.
+
+Secondary fields:
+  - xla_bytes_per_cell: independent cross-check from XLA's compiled cost
+    model (bytes in/out of the whole jitted program).  It counts whole-array
+    traffic but not intra-kernel halo re-reads, so it must sit slightly
+    BELOW the analytic number; a hidden full-array pad/copy would push it
+    ABOVE.  cross_check_ok asserts analytic >= xla and (analytic-xla) small.
+  - wallclock_gcells_per_s: measured wall-clock throughput.  UNRELIABLE on
+    timing-emulated devices (BASELINE.md measured 13-43 TiB/s effective HBM
+    on this chip vs the 819 GB/s spec) — labeled, never the headline.
+
+The Pallas build failing is a FAILURE (exit 1), not a silent fallback to
+the XLA backend: a regression in the flagship kernel must show up red.
 """
 
 import json
@@ -19,6 +31,7 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
+BASELINE_ROOFLINE_PCT = 80.0  # BASELINE.md: 82 GCell/s = 80% of v5e roofline
 BASELINE_GCELLS = 82.0
 N = 512
 REPS = 10
@@ -39,6 +52,8 @@ def main() -> int:
 
     from soda_tpu.frontend.parser import parse_file
     from soda_tpu.backend import pallas as pallas_backend
+    from soda_tpu.plan import planner as planner_mod
+    from soda_tpu.utils import report as report_mod
 
     here = pathlib.Path(__file__).resolve().parent
     program = parse_file(here / "tests" / "soda" / "jacobi3d.soda")
@@ -46,36 +61,71 @@ def main() -> int:
     platform = jax.devices()[0].platform
     interpret = platform not in ("tpu",)
 
+    # --- analytic headline: planner byte counts vs roofline ---
+    plan = planner_mod.plan(program, grid_shape, sweeps=1)
+    rep = report_mod.analyze(plan, program=program)
+    roofline_pct = 100.0 * rep.roofline_fraction
+
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(grid_shape).astype(np.float32))
     ins = {"t0": x}
 
+    # --- flagship Pallas kernel: build/compile failure is a bench failure ---
     try:
         fn = jax.jit(pallas_backend.build_fn(
             program, grid_shape=grid_shape, interpret=interpret, iterate=1))
-        out = fn(ins, {})
+        lowered = fn.lower(ins, {})
+        compiled = lowered.compile()
+        out = compiled(ins, {})
         jax.block_until_ready(out)
+    except Exception as e:  # loud: a flagship-kernel regression must be red
+        print(json.dumps({
+            "metric": "jacobi3d_512cubed_pallas_build",
+            "value": 0.0,
+            "unit": "FAILED: " + type(e).__name__,
+            "vs_baseline": 0.0,
+            "error": str(e)[:500],
+        }))
+        return 1
+
+    # --- independent cross-check: XLA cost-model bytes for the whole
+    # jitted program (catches hidden pad/copy traffic the planner does not
+    # plan; excludes intra-kernel halo re-reads the planner does count) ---
+    xla_bpc = None
+    cross_check_ok = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        xla_bytes = sum(v for k, v in ca.items() if k.startswith("bytes accessed"))
+        xla_bpc = xla_bytes / float(N ** 3)
+        # analytic must bound xla from above, and by <5% for the headline
+        cross_check_ok = bool(
+            rep.bytes_per_cell_update >= xla_bpc - 1e-6
+            and rep.bytes_per_cell_update <= xla_bpc * 1.05)
     except Exception:
-        # robust fallback: the portable XLA backend (still measures the
-        # stencil, just without explicit VMEM tiling)
-        from soda_tpu.backend import xla as xla_backend
+        pass  # cost model unavailable on this backend — omit, don't fail
 
-        fn = jax.jit(xla_backend.build_fn(program, iterate=1))
-        out = fn(ins, {})
-        jax.block_until_ready(out)
-
+    # --- wall-clock (labeled unreliable on timing-emulated devices) ---
     t0 = time.perf_counter()
     for _ in range(REPS):
-        out = fn(ins, {})
+        out = compiled(ins, {})
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / REPS
-
     gcells = (N ** 3) / dt / 1e9
+
     print(json.dumps({
-        "metric": "jacobi3d_512cubed_single_sweep_throughput",
-        "value": round(gcells, 2),
-        "unit": "GCell/s",
-        "vs_baseline": round(gcells / BASELINE_GCELLS, 3),
+        "metric": "jacobi3d_512cubed_single_sweep_roofline",
+        "value": round(roofline_pct, 1),
+        "unit": "% of single-sweep HBM roofline (analytic, 8 B/cell ideal)",
+        "vs_baseline": round(roofline_pct / BASELINE_ROOFLINE_PCT, 3),
+        "analytic_bytes_per_cell": round(rep.bytes_per_cell_update, 3),
+        "xla_bytes_per_cell": (None if xla_bpc is None else round(xla_bpc, 3)),
+        "cross_check_ok": cross_check_ok,
+        "est_gcells_per_s_v5e": round(rep.est_gcells_per_s_v5e, 1),
+        "wallclock_gcells_per_s": round(gcells, 2),
+        "wallclock_vs_baseline_82": round(gcells / BASELINE_GCELLS, 3),
+        "wallclock_note": "unreliable on timing-emulated devices (BASELINE.md)",
     }))
     return 0
 
