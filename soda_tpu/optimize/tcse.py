@@ -3,150 +3,526 @@
 Reference analog: src/soda/optimization/tcse.py — the DAC 2020 "Exploiting
 Computation Reuse for Stencil Accelerators" rewrite (SURVEY.md §2.1 L6,
 reconstructed — empty mount).  The reference detects subexpressions repeated
-at shifted offsets (convolution sum trees), hoists them into synthetic
-`local` stages, and lets the reuse buffers carry partial sums, selecting the
-decomposition with a DP/ILP (PuLP) search.
+at shifted offsets (convolution sum trees with coefficients), hoists them
+into synthetic `local` stages, and lets the reuse buffers carry partial
+sums, selecting the decomposition with a DP/ILP (PuLP) search.
 
-This TPU-native version implements the same rewrite with a greedy
-generator/stride search instead of ILP:
+This TPU-native version generalizes the rewrite to WEIGHTED sums via exact
+polynomial factorization over the offset lattice:
 
-  a flattened sum of taps  Σ_{o ∈ O} x(o)  is decomposed as
-  Σ_{k=0}^{m-1} T(k·d)  with a new stage  T = Σ_{g ∈ G} x(g)
-  whenever O = ⨄_k (G + k·d)  and  (|G|-1) + (m-1) < |O|-1.
+  a flattened weighted sum  Σ_{o} w_o · x(o)  (w_o = constant / param
+  products) is viewed as a Laurent polynomial W(z).  A rewrite
+
+      Σ_k c_k · T(k·d)   with hoisted stage   T = Σ_g v_g · x(g)
+
+  is EXACTLY the factorization  W = V · C(z^d)  where C is a 1-D polynomial
+  along direction d.  Grouping offsets into residue classes modulo Z·d
+  turns each class into a 1-D polynomial in y = z^d; C must divide every
+  class polynomial, and V is assembled from the quotients.
+
+Candidate factors C per direction d:
+  - the exact GCD of all class polynomials (catches SEPARABLE kernels:
+    for a rank-1 weight array every row is a scalar multiple of the same
+    1-D kernel, so the GCD is that kernel — e.g. a full 5x5 Gaussian
+    collapses to row-sum + column-combine);
+  - rational-root linear factors and small-integer quadratic factors of a
+    single class polynomial (catches BINOMIAL / triangle kernels:
+    (1,4,6,4,1) = (1+y)^4, (1,2,3,2,1) = (1+y+y²)²);
+  - unweighted disjoint tilings (box kernels) are the special case
+    W = V·C with {0,1}-coefficients, found by the same division.
+
+All candidates over all directions are scored by exact op count
+(adds + non-unit multiplies) and the best strict improvement is applied;
+passes repeat to a fixed point (multi-level reuse), so e.g. (1,4,6,4,1)
+reaches the 4-add/0-mul binomial chain.  This exhaustive-per-level
+selection plays the role of the reference's PuLP ILP at stencil sizes.
 
 On TPU the "reuse buffer carrying partial sums" is simply the hoisted
 stage's VMEM block: the planner fuses T into its consumer with the right
 halo, so each partial sum is computed once per cell and read m times as
 shifted vector slices — identical dataflow to the reference's FIFO chains.
 
-Numerical note: the rewrite REASSOCIATES the sum.  Exact for integer types;
-for floats it perturbs results within normal fp tolerance (like the
-reference's tcse, which also reorders reductions).  Off by default; enable
-with `sodac --tcse` or `apply(program)`.
+Numerical note: the rewrite REASSOCIATES the sum.  Exact for integer
+types — integer programs only accept integer factor coefficients, and
+hoisted partial sums are stored at >= the accumulator width (int32, or
+int64 for >32-bit parents), so wraparound congruence makes the final
+masked store bit-exact.  For floats it perturbs results within normal fp
+tolerance (like the reference's tcse, which also reorders reductions).
+Off by default; enable with `sodac --tcse` or `apply(program)`.
+
+Known no-reuse case (by design, not a gap): conv5x5.soda's 25 FREE
+symbolic weights coef[i][j] admit no reuse — every tap's coefficient is an
+independent unknown, so no sub-pattern can repeat at a shift.  tcse
+correctly leaves it unchanged; see gauss5x5.soda for the constant-weight
+2-D convolution the DAC'20 rewrite is about (24 adds + 25 muls -> 8 adds).
 """
 
 from __future__ import annotations
 
-import itertools
+import dataclasses
+import math
+from fractions import Fraction
 
 from ..ir import expr as ir
 from ..ir.program import StencilProgram, Tensor
+from ..ir.types import ScalarType
 
 
-def _flatten_sum(e: ir.Expr) -> list[ir.Expr] | None:
-    """Flatten a (((a+b)+c)+d) chain into [a, b, c, d]; None if not a sum."""
-    if not (isinstance(e, ir.BinOp) and e.op == "+"):
-        return None
-    out: list[ir.Expr] = []
+# ---------------------------------------------------------------------------
+# Coefficients: exact rational number times a multiset of symbolic factors
+# (ParamRef / Var).  Fractions keep integer programs bit-exact.
+# ---------------------------------------------------------------------------
 
-    def rec(n: ir.Expr) -> None:
-        if isinstance(n, ir.BinOp) and n.op == "+":
-            rec(n.lhs)
-            rec(n.rhs)
+
+@dataclasses.dataclass(frozen=True)
+class Coeff:
+    num: Fraction
+    syms: tuple[ir.Expr, ...] = ()  # sorted by str; frozen dataclasses hash
+
+    @staticmethod
+    def one() -> "Coeff":
+        return Coeff(Fraction(1))
+
+    @property
+    def is_one(self) -> bool:
+        return self.num == 1 and not self.syms
+
+    @property
+    def is_numeric(self) -> bool:
+        return not self.syms
+
+    @property
+    def is_zero(self) -> bool:
+        return self.num == 0
+
+    def mul(self, other: "Coeff") -> "Coeff":
+        return Coeff(self.num * other.num,
+                     tuple(sorted(self.syms + other.syms, key=str)))
+
+    def neg(self) -> "Coeff":
+        return Coeff(-self.num, self.syms)
+
+    def to_expr(self, operand: ir.Expr, is_int: bool) -> ir.Expr:
+        """Build coeff * operand (coeff == 1 collapses to operand)."""
+        e = operand
+        for s in self.syms:
+            e = ir.BinOp("*", e, s)
+        n = self.num
+        if n == 1:
+            return e
+        if n == -1:
+            return ir.UnOp("-", e)
+        if n.denominator == 1:
+            return ir.BinOp("*", ir.Const(int(n)), e)
+        if is_int:
+            raise AssertionError("non-integer coeff on integer program")
+        return ir.BinOp("*", ir.Const(float(n)), e)
+
+    @property
+    def mul_cost(self) -> int:
+        """Number of multiply ops this coefficient costs on a tap."""
+        c = len(self.syms)
+        if abs(self.num) != 1:
+            c += 1
+        return c
+
+
+def _frac_gcd(a: Fraction, b: Fraction) -> Fraction:
+    return Fraction(math.gcd(a.numerator, b.numerator),
+                    (a.denominator * b.denominator)
+                    // math.gcd(a.denominator, b.denominator))
+
+
+def _coeff_content(coeffs: list[Coeff]) -> Coeff:
+    """Common factor: gcd of numerics x multiset intersection of symbols."""
+    num = Fraction(0)
+    for c in coeffs:
+        num = _frac_gcd(num, abs(c.num)) if num else abs(c.num)
+    syms: list[ir.Expr] | None = None
+    for c in coeffs:
+        cs = list(c.syms)
+        if syms is None:
+            syms = cs
         else:
-            out.append(n)
+            keep = []
+            for s in syms:
+                if s in cs:
+                    cs.remove(s)
+                    keep.append(s)
+            syms = keep
+    # sign convention: make the first coefficient positive
+    if coeffs and coeffs[0].num < 0:
+        num = -num
+    return Coeff(num, tuple(syms or ()))
 
-    rec(e)
+
+def _coeff_div(a: Coeff, b: Coeff) -> Coeff | None:
+    """a / b when the symbolic multiset of b divides a's; else None."""
+    syms = list(a.syms)
+    for s in b.syms:
+        if s not in syms:
+            return None
+        syms.remove(s)
+    return Coeff(a.num / b.num, tuple(syms))
+
+
+# ---------------------------------------------------------------------------
+# Term parsing: a sum term -> (Coeff, tensor name, offsets)
+# ---------------------------------------------------------------------------
+
+
+def _flatten_sum(e: ir.Expr) -> list[tuple[ir.Expr, bool]] | None:
+    """Flatten a +/- chain into [(term, negated)]; None if not a sum."""
+    if not (isinstance(e, ir.BinOp) and e.op in ("+", "-")):
+        return None
+    out: list[tuple[ir.Expr, bool]] = []
+
+    def rec(n: ir.Expr, neg: bool) -> None:
+        if isinstance(n, ir.BinOp) and n.op in ("+", "-"):
+            rec(n.lhs, neg)
+            rec(n.rhs, neg ^ (n.op == "-"))
+        else:
+            out.append((n, neg))
+
+    rec(e, False)
     return out
 
 
-def _as_unit_refs(terms: list[ir.Expr]) -> tuple[str, list[tuple[int, ...]]] | None:
-    """If every term is Ref(x, o) of one tensor, return (x, offsets)."""
-    name = None
-    offs = []
-    for t in terms:
-        if not isinstance(t, ir.Ref):
-            return None
-        if name is None:
-            name = t.name
-        elif t.name != name:
-            return None
-        offs.append(t.offsets)
-    if name is None or len(set(offs)) != len(offs):
-        return None  # duplicate taps: leave alone
-    return name, offs
-
-
-def _decompose(offsets: list[tuple[int, ...]]
-               ) -> tuple[list[tuple[int, ...]], tuple[int, ...], int] | None:
-    """Find (G, d, m) with offsets = ⨄_{k<m} (G + k·d) and positive savings."""
-    oset = set(offsets)
-    n = len(offsets)
-    best = None
-    seen_d = set()
-    for a, b in itertools.permutations(offsets, 2):
-        d = tuple(x - y for x, y in zip(a, b))
-        if d in seen_d or all(x == 0 for x in d):
-            continue
-        seen_d.add(d)
-        # generators: offsets with no predecessor along d
-        gens = [o for o in oset
-                if tuple(x - y for x, y in zip(o, d)) not in oset]
-        if len(gens) >= n:
-            continue
-        # walk chains; all must have equal length m and tile oset exactly
-        m = None
-        ok = True
-        for g in gens:
-            k = 0
-            cur = g
-            while cur in oset:
-                k += 1
-                cur = tuple(x + y for x, y in zip(cur, d))
-            if m is None:
-                m = k
-            elif k != m:
-                ok = False
-                break
-        if not ok or m is None or m < 2:
-            continue
-        if len(gens) * m != n:
-            continue
-        cost = (len(gens) - 1) + (m - 1)
-        if cost >= n - 1:
-            continue
-        key = (cost, sum(abs(x) for x in d))
-        if best is None or key < best[0]:
-            best = (key, gens, d, m)
-    if best is None:
+def _parse_term(e: ir.Expr) -> tuple[Coeff, str, tuple[int, ...]] | None:
+    """Parse coeff * Ref products: Ref, c*Ref, Ref*p[i][j], 2*p*Ref, -Ref."""
+    coeff = Coeff.one()
+    ref: ir.Ref | None = None
+    stack = [e]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, ir.BinOp) and n.op == "*":
+            stack.append(n.lhs)
+            stack.append(n.rhs)
+        elif isinstance(n, ir.UnOp) and n.op == "-":
+            coeff = coeff.neg()
+            stack.append(n.operand)
+        elif isinstance(n, ir.Ref):
+            if ref is not None:
+                return None  # x*y products are not weighted taps
+            ref = n
+        elif isinstance(n, ir.Const):
+            # exact: ints exactly, floats as their exact binary rational —
+            # factorizations are then exact identities over the stored consts
+            coeff = coeff.mul(Coeff(Fraction(n.value)))
+        elif isinstance(n, (ir.ParamRef, ir.Var)):
+            coeff = coeff.mul(Coeff(Fraction(1), (n,)))
+        else:
+            return None  # casts/calls/divs etc.: opaque term
+    if ref is None or coeff.is_zero:
         return None
-    _, gens, d, m = best
-    return sorted(gens), d, m
+    return coeff, ref.name, ref.offsets
 
 
-def _rewrite_expr(e: ir.Expr, fresh, new_stages: dict[str, ir.Expr]) -> ir.Expr:
-    """Top-down: replace decomposable sum chains with hoisted-stage sums.
+# ---------------------------------------------------------------------------
+# Exact 1-D polynomial helpers over Fraction coefficient lists
+# (index = exponent; list[0] != 0 by construction).
+# ---------------------------------------------------------------------------
 
-    Top-down matters: a left-associated chain's prefixes are themselves sum
-    nodes; rewriting the MAXIMAL chain first finds the full decomposition
-    (e.g. the 3×3 box sum) instead of a partial one."""
+
+def _poly_trim(p: list[Fraction]) -> list[Fraction]:
+    while p and p[-1] == 0:
+        p.pop()
+    return p
+
+
+def _poly_divmod(a: list[Fraction], b: list[Fraction]
+                 ) -> tuple[list[Fraction], list[Fraction]]:
+    a = list(a)
+    q = [Fraction(0)] * max(len(a) - len(b) + 1, 0)
+    for i in range(len(a) - len(b), -1, -1):
+        c = a[i + len(b) - 1] / b[-1]
+        q[i] = c
+        if c:
+            for j, bj in enumerate(b):
+                a[i + j] -= c * bj
+    return _poly_trim(q), _poly_trim(a)
+
+
+def _poly_gcd(a: list[Fraction], b: list[Fraction]) -> list[Fraction]:
+    while b:
+        _, r = _poly_divmod(a, b)
+        a, b = b, r
+    return _poly_primitive(a)
+
+
+def _poly_primitive(p: list[Fraction]) -> list[Fraction]:
+    """Scale to primitive integer coefficients with positive leading term."""
+    if not p:
+        return p
+    g = Fraction(0)
+    for c in p:
+        g = _frac_gcd(g, abs(c)) if g else abs(c)
+    if p[-1] < 0:
+        g = -g
+    return [c / g for c in p]
+
+
+def _poly_factors(p: list[Fraction]) -> list[list[Fraction]]:
+    """Proper divisors of a primitive integer poly: rational-root linear
+    factors plus small-integer quadratic factors (covers binomial and
+    triangle kernels; higher-degree irreducibles are rare in stencils and
+    simply yield no reuse)."""
+    out: list[list[Fraction]] = []
+    deg = len(p) - 1
+    if deg < 2:
+        return out
+    a0, an = int(p[0]), int(p[-1])
+
+    def divisors(n: int) -> list[int]:
+        n = abs(n)
+        return [d for d in range(1, n + 1) if n % d == 0]
+
+    seen: set[tuple] = set()
+    for pn in divisors(a0):
+        for qn in divisors(an):
+            for sign in (1, -1):
+                cand = [Fraction(sign * pn), Fraction(qn)]  # qn*y + sign*pn
+                cand = _poly_primitive(cand)
+                key = tuple(cand)
+                if key in seen:
+                    continue
+                seen.add(key)
+                _, r = _poly_divmod(p, cand)
+                if not r:
+                    out.append(cand)
+    if deg >= 4:
+        bound = max(abs(int(c)) for c in p) + 1
+        for b0 in divisors(a0):
+            for b2 in divisors(an):
+                for s0 in (1, -1):
+                    for b1 in range(-bound, bound + 1):
+                        cand = [Fraction(s0 * b0), Fraction(b1), Fraction(b2)]
+                        cand = _poly_primitive(cand)
+                        key = tuple(cand)
+                        if key in seen:
+                            continue
+                        seen.add(key)
+                        _, r = _poly_divmod(p, cand)
+                        if not r:
+                            out.append(cand)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Decomposition search: best (d, C) factorization of a weighted tap set
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _Rewrite:
+    hoisted: list[tuple[tuple[int, ...], Coeff]]  # T's taps
+    outer: list[tuple[tuple[int, ...], Coeff]]    # consumer taps on T
+    saved_ops: int
+
+
+def _sum_cost(taps: list[tuple[tuple[int, ...], Coeff]]) -> int:
+    return (len(taps) - 1) + sum(c.mul_cost for _, c in taps)
+
+
+def _primitive(d: tuple[int, ...]) -> tuple[int, ...] | None:
+    g = 0
+    for x in d:
+        g = math.gcd(g, abs(x))
+    if g == 0:
+        return None
+    d = tuple(x // g for x in d)
+    for x in d:  # canonical sign: first nonzero positive (dedup +/-d)
+        if x:
+            return d if x > 0 else tuple(-y for y in d)
+    return None
+
+
+def _search(taps: list[tuple[tuple[int, ...], Coeff]], is_int: bool
+            ) -> _Rewrite | None:
+    n = len(taps)
+    if n < 3:
+        return None
+    offsets = [o for o, _ in taps]
+    wmap = dict(taps)
+    old_cost = _sum_cost(taps)
+    best: _Rewrite | None = None
+
+    dirs: list[tuple[int, ...]] = []
+    seen_d: set[tuple[int, ...]] = set()
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            d = _primitive(tuple(a - b for a, b in
+                                 zip(offsets[i], offsets[j])))
+            if d is not None and d not in seen_d:
+                seen_d.add(d)
+                dirs.append(d)
+
+    for d in dirs:
+        nz = next(k for k, x in enumerate(d) if x)
+        # residue classes modulo Z*d; exponent j along d within each class
+        classes: dict[tuple[int, ...], dict[int, Coeff]] = {}
+        ok = True
+        for o in offsets:
+            q = o[nz] // d[nz]
+            rep = tuple(a - q * b for a, b in zip(o, d))
+            classes.setdefault(rep, {})[q] = wmap[o]
+        # build per-class polys with base exponent normalized to 0
+        polys: list[tuple[tuple[int, ...], int, Coeff, list[Fraction]]] = []
+        for rep, jmap in classes.items():
+            jmin = min(jmap)
+            coeffs = [jmap.get(j, Coeff(Fraction(0)))
+                      for j in range(jmin, max(jmap) + 1)]
+            cont = _coeff_content([c for c in coeffs if not c.is_zero])
+            prim: list[Fraction] = []
+            for c in coeffs:
+                if c.is_zero:
+                    prim.append(Fraction(0))
+                    continue
+                q2 = _coeff_div(c, cont)
+                if q2 is None or not q2.is_numeric:
+                    ok = False
+                    break
+                prim.append(q2.num)
+            if not ok:
+                break
+            base = tuple(a + jmin * b for a, b in zip(rep, d))
+            polys.append((base, jmin, cont, prim))
+        if not ok or not polys:
+            continue
+
+        # candidate C factors along this direction
+        cands: list[list[Fraction]] = []
+        if len(polys) > 1:
+            g = polys[0][3]
+            for _, _, _, p in polys[1:]:
+                g = _poly_gcd(g, p)
+                if len(g) <= 1:
+                    break
+            if len(g) > 1:
+                cands.append(g)
+                cands.extend(_poly_factors(g))
+        else:
+            cands.extend(_poly_factors(_poly_primitive(polys[0][3])))
+
+        for C in cands:
+            if len(C) <= 1:
+                continue
+            if is_int and any(c.denominator != 1 for c in C):
+                continue
+            hoisted: list[tuple[tuple[int, ...], Coeff]] = []
+            good = True
+            for base, _, cont, prim in polys:
+                q3, r = _poly_divmod(prim, C)
+                if r:
+                    good = False
+                    break
+                for j, qc in enumerate(q3):
+                    if qc == 0:
+                        continue
+                    vc = cont.mul(Coeff(qc))
+                    if is_int and vc.num.denominator != 1:
+                        good = False
+                        break
+                    hoisted.append(
+                        (tuple(a + j * b for a, b in zip(base, d)), vc))
+                if not good:
+                    break
+            if not good or len(hoisted) < 2:
+                continue
+            outer = [(tuple(k * x for x in d), Coeff(ck))
+                     for k, ck in enumerate(C) if ck != 0]
+            new_cost = _sum_cost(hoisted) + _sum_cost(outer)
+            saved = old_cost - new_cost
+            if saved > 0 and (best is None or saved > best.saved_ops):
+                best = _Rewrite(sorted(hoisted), outer, saved)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# Expression rewriting
+# ---------------------------------------------------------------------------
+
+
+def _rewrite_expr(e: ir.Expr, fresh, new_stages: dict[str, ir.Expr],
+                  is_int_tensor) -> ir.Expr:
+    """Top-down: replace decomposable weighted-sum chains with hoisted-stage
+    sums.  Top-down matters: a left-associated chain's prefixes are
+    themselves sum nodes; rewriting the MAXIMAL chain first finds the full
+    decomposition instead of a partial one."""
 
     def try_chain(n: ir.Expr) -> ir.Expr | None:
-        terms = _flatten_sum(n)
-        if terms is None:
+        flat = _flatten_sum(n)
+        if flat is None:
             return None
-        unit = _as_unit_refs(terms)
-        if unit is None:
+        # partition terms into weighted taps per tensor + opaque rest
+        groups: dict[str, list[tuple[tuple[int, ...], Coeff]]] = {}
+        rest: list[tuple[ir.Expr, bool]] = []
+        order: list[tuple[str, str | None, int]] = []  # rebuild order
+        for term, neg in flat:
+            parsed = _parse_term(term)
+            if parsed is None:
+                order.append(("rest", None, len(rest)))
+                rest.append((term, neg))
+                continue
+            c, name, off = parsed
+            if neg:
+                c = c.neg()
+            g = groups.setdefault(name, [])
+            order.append(("tap", name, len(g)))
+            g.append((off, c))
+        changed = False
+        rebuilt: dict[str, ir.Expr] = {}
+        for name, taps in groups.items():
+            if len({o for o, _ in taps}) != len(taps):
+                continue  # duplicate taps: leave alone
+            is_int = is_int_tensor(name)
+            rw = _search(taps, is_int)
+            if rw is None:
+                continue
+            changed = True
+            # re-anchor the hoisted stage to center its own span: stage
+            # values only exist on the grid, so the border-invalid rim grows
+            # by the hoisted stage's own radius — centering minimizes it.
+            rank = len(rw.hoisted[0][0])
+            lo = [min(o[i] for o, _ in rw.hoisted) for i in range(rank)]
+            hi = [max(o[i] for o, _ in rw.hoisted) for i in range(rank)]
+            t = tuple((a + b) // 2 for a, b in zip(lo, hi))
+            t_name = fresh(name)
+            new_stages[t_name] = _build_weighted_sum(
+                [(tuple(o[i] - t[i] for i in range(rank)), c)
+                 for o, c in rw.hoisted], name, is_int)
+            rebuilt[name] = _build_weighted_sum(
+                [(tuple(o[i] + t[i] for i in range(rank)), c)
+                 for o, c in rw.outer], t_name, is_int)
+        if not changed:
             return None
-        name, offs = unit
-        dec = _decompose(offs)
-        if dec is None:
-            return None
-        gens, d, m = dec
-        # re-anchor the hoisted stage to center its own span: the composed
-        # reach G ⊕ {k·d} equals O exactly, but stage values only exist on
-        # the grid, so the border-invalid rim grows by the hoisted stage's
-        # own radius — centering minimizes that growth.
-        rank = len(gens[0])
-        t = tuple((min(g[i] for g in gens) + max(g[i] for g in gens)) // 2
-                  for i in range(rank))
-        t_name = fresh(name)
-        new_stages[t_name] = _build_sum(
-            [ir.Ref(name, tuple(g[i] - t[i] for i in range(rank)))
-             for g in gens])
-        reps = [ir.Ref(t_name, tuple(k * d[i] + t[i] for i in range(rank)))
-                for k in range(m)]
-        return _build_sum(reps)
+        # rebuild the sum: rewritten groups first (one node each), then
+        # untouched groups' taps and opaque terms in original order
+        parts: list[tuple[ir.Expr, bool]] = []
+        emitted: set[str] = set()
+        for kind, name, idx in order:
+            if kind == "rest":
+                parts.append(rest[idx])
+            elif name in rebuilt:
+                if name not in emitted:
+                    emitted.add(name)
+                    parts.append((rebuilt[name], False))
+            else:
+                off, c = groups[name][idx]
+                neg = c.num < 0
+                cc = c.neg() if neg else c
+                parts.append(
+                    (cc.to_expr(ir.Ref(name, off), is_int_tensor(name)), neg))
+        out: ir.Expr | None = None
+        for term, neg in parts:
+            if out is None:
+                out = ir.UnOp("-", term) if neg else term
+            else:
+                out = ir.BinOp("-" if neg else "+", out, term)
+        assert out is not None
+        return out
 
     def rec(n: ir.Expr) -> ir.Expr:
         hit = try_chain(n)
@@ -167,26 +543,48 @@ def _rewrite_expr(e: ir.Expr, fresh, new_stages: dict[str, ir.Expr]) -> ir.Expr:
     return rec(e)
 
 
-def _build_sum(terms: list[ir.Expr]) -> ir.Expr:
-    out = terms[0]
-    for t in terms[1:]:
-        out = ir.BinOp("+", out, t)
+def _build_weighted_sum(taps: list[tuple[tuple[int, ...], Coeff]],
+                        name: str, is_int: bool) -> ir.Expr:
+    out: ir.Expr | None = None
+    for off, c in taps:
+        neg = c.num < 0
+        cc = c.neg() if neg else c
+        term = cc.to_expr(ir.Ref(name, off), is_int)
+        if out is None:
+            out = ir.UnOp("-", term) if neg else term
+        else:
+            out = ir.BinOp("-" if neg else "+", out, term)
+    assert out is not None
     return out
+
+
+def _parent_of(stage_name: str) -> str:
+    return stage_name.rsplit("__cse", 1)[0]
+
+
+# ---------------------------------------------------------------------------
+# Program-level driver
+# ---------------------------------------------------------------------------
 
 
 def apply(program: StencilProgram, max_passes: int = 10) -> StencilProgram:
     """Return a new program with computation-reuse stages hoisted.
 
-    Idempotent fixed point: passes repeat until no sum chain decomposes
-    (hoisted stages themselves are candidates — multi-level reuse, e.g. a
-    2D box sum becomes row-sum + column-sum of row-sums)."""
+    Idempotent fixed point: passes repeat until no weighted sum chain
+    factors (hoisted stages themselves are candidates — multi-level reuse,
+    e.g. a separable 5x5 Gaussian becomes a binomial chain of 1-add
+    stages)."""
     tensors = {n: Tensor(t.name, t.type, t.expr, t.dram, t.tile_size, t.is_output)
                for n, t in program.tensors.items()}
     counter = [0]
 
     def fresh(base: str) -> str:
         counter[0] += 1
-        return f"{base}__cse{counter[0]}"
+        return f"{_parent_of(base)}__cse{counter[0]}"
+
+    def is_int_tensor(name: str) -> bool:
+        t = tensors.get(name)
+        return bool(t and t.type.is_int)
 
     changed = True
     passes = 0
@@ -198,18 +596,21 @@ def apply(program: StencilProgram, max_passes: int = 10) -> StencilProgram:
             if t.expr is None:
                 continue
             new_stages: dict[str, ir.Expr] = {}
-            e2 = _rewrite_expr(t.expr, fresh, new_stages)
+            e2 = _rewrite_expr(t.expr, fresh, new_stages, is_int_tensor)
             if new_stages:
                 changed = True
                 for sn, se in new_stages.items():
                     # hoisted partial sums need a WIDE type: narrow int
                     # stages would mask mid-sum (the original masks only at
-                    # the final store).  int -> int32; float keeps width.
-                    from ..ir.types import ScalarType
-
+                    # the final store).  int parents <= 32 bits store at the
+                    # int32 accumulator width (the TPU compute width, and
+                    # wraparound-congruent for the int64 oracle since every
+                    # final store width divides 2^32); wider parents keep
+                    # the full 64-bit accumulator.  Floats keep their width.
                     parent = next(iter(ir.get_load_names(se)))
                     pt = tensors[parent].type
-                    st = pt if pt.is_float else ScalarType("int", 32)
+                    st = (pt if pt.is_float
+                          else ScalarType("int", 64 if pt.width > 32 else 32))
                     tensors[sn] = Tensor(sn, st, se)
                 tensors[name] = Tensor(t.name, t.type, e2, t.dram,
                                        t.tile_size, t.is_output)
@@ -228,13 +629,29 @@ def apply(program: StencilProgram, max_passes: int = 10) -> StencilProgram:
 
 
 def count_adds(program: StencilProgram) -> int:
-    """Total '+' nodes across stage expressions (the op-count metric the
-    DAC'20 paper optimizes)."""
+    """Total '+'/'-' nodes across stage expressions."""
     n = 0
     for t in program.tensors.values():
         if t.expr is None:
             continue
         for node in ir.walk(t.expr):
-            if isinstance(node, ir.BinOp) and node.op == "+":
+            if isinstance(node, ir.BinOp) and node.op in ("+", "-"):
                 n += 1
     return n
+
+
+def count_muls(program: StencilProgram) -> int:
+    """Total '*' nodes across stage expressions."""
+    n = 0
+    for t in program.tensors.values():
+        if t.expr is None:
+            continue
+        for node in ir.walk(t.expr):
+            if isinstance(node, ir.BinOp) and node.op == "*":
+                n += 1
+    return n
+
+
+def count_ops(program: StencilProgram) -> int:
+    """Adds + multiplies — the op-count metric the DAC'20 paper optimizes."""
+    return count_adds(program) + count_muls(program)

@@ -115,3 +115,109 @@ def test_big_box_25():
     rim = q.valid_rim()
     sl = (slice(rim, -rim), slice(rim, -rim))
     assert np.allclose(a[sl], b[sl], rtol=1e-4, atol=1e-5)
+
+
+# ---- weighted reuse (round 2: DAC'20 coefficient sum trees) ---------------
+
+
+def test_gaussian2d_weighted_chain():
+    # (1,4,6,4,1) = (1+y)^4: all multiplies factor into a binomial add chain
+    p = parse_file(SODA / "gaussian2d.soda")
+    q = tcse.apply(p)
+    assert tcse.count_muls(p) == 6 and tcse.count_adds(p) == 8
+    assert tcse.count_muls(q) == 0
+    assert tcse.count_adds(q) == 8
+    assert tcse.count_ops(q) < tcse.count_ops(p)
+    x = rng.integers(0, 65535, (48, 64)).astype(np.uint16)
+    a = numpy_interp.run(p, {"g_in": x})["g_out"]
+    b = numpy_interp.run(q, {"g_in": x})["g_out"]
+    rim = q.valid_rim()
+    sl = (slice(rim, -rim), slice(rim, -rim))
+    assert sl[0].stop is not None and a[sl].size  # guard vacuous compare
+    assert np.array_equal(a[sl], b[sl])
+
+
+def test_gauss5x5_full_2d_factorizes():
+    # the non-prefactored 25-tap 2D Gaussian: separable + binomial discovery
+    p = parse_file(SODA / "gauss5x5.soda")
+    q = tcse.apply(p)
+    assert tcse.count_adds(p) == 24 and tcse.count_muls(p) == 21
+    assert tcse.count_adds(q) == 8 and tcse.count_muls(q) == 0
+    x = rng.integers(0, 65535, (48, 64)).astype(np.uint16)
+    a = numpy_interp.run(p, {"q_in": x})["q_out"]
+    b = numpy_interp.run(q, {"q_in": x})["q_out"]
+    rim = q.valid_rim()
+    sl = (slice(rim, -rim), slice(rim, -rim))
+    assert a[sl].size
+    assert np.array_equal(a[sl], b[sl])
+
+
+def test_conv5x5_free_weights_untouched():
+    # 25 independent symbolic coefficients admit no reuse; tcse must not
+    # touch the program (rewriting would be unsound or useless)
+    p = parse_file(SODA / "conv5x5.soda")
+    q = tcse.apply(p)
+    assert tcse.count_adds(q) == tcse.count_adds(p)
+    assert tcse.count_muls(q) == tcse.count_muls(p)
+    assert not [n for n in q.tensors if "__cse" in n]
+
+
+def test_triangle_kernel_quadratic_factor():
+    # (1,2,3,2,1) = (1+y+y^2)^2: needs the quadratic factor search
+    src = (
+        "kernel: tri\n"
+        "input uint16: a(512, *)\n"
+        "output uint32: out(0, 0) = a(0,-2) + 2*a(0,-1) + 3*a(0,0)"
+        " + 2*a(0,1) + a(0,2)\n"
+    )
+    p = parse(src)
+    q = tcse.apply(p)
+    assert tcse.count_ops(q) < tcse.count_ops(p)
+    assert tcse.count_muls(q) == 0  # (a+a'+a'') twice: 4 adds total
+    x = rng.integers(0, 60000, (16, 64)).astype(np.uint16)
+    a = numpy_interp.run(p, {"a": x})["out"]
+    b = numpy_interp.run(q, {"a": x})["out"]
+    rim = q.valid_rim()
+    sl = (slice(rim, -rim), slice(rim, -rim)) if rim else (slice(None),) * 2
+    assert np.array_equal(a[sl], b[sl])
+
+
+def test_hoisted_type_is_int64_for_wide_parents():
+    # ADVICE r1: int64/uint64 parents must hoist at 64-bit, not int32 —
+    # masking partial sums to 32 bits corrupts 64-bit programs
+    src = (
+        "kernel: box9w\n"
+        "input uint64: img(512, *)\n"
+        "output uint64: out(0, 0) = img(-1,-1) + img(-1,0) + img(-1,1)"
+        " + img(0,-1) + img(0,0) + img(0,1)"
+        " + img(1,-1) + img(1,0) + img(1,1)\n"
+    )
+    p = parse(src)
+    q = tcse.apply(p)
+    hoisted = [n for n in q.tensors if "__cse" in n]
+    assert hoisted and all(q.tensors[h].type.width == 64 for h in hoisted)
+    x = rng.integers(0, 2**63, (24, 32), dtype=np.uint64)
+    a = numpy_interp.run(p, {"img": x})["out"]
+    b = numpy_interp.run(q, {"img": x})["out"]
+    rim = q.valid_rim()
+    sl = (slice(rim, -rim), slice(rim, -rim))
+    assert a[sl].size
+    assert np.array_equal(a[sl], b[sl])
+
+
+def test_float_weighted_sum_close():
+    src = (
+        "kernel: fw\n"
+        "input float: a(512, *)\n"
+        "output float: out(0, 0) = 0.0625*a(0,-2) + 0.25*a(0,-1)"
+        " + 0.375*a(0,0) + 0.25*a(0,1) + 0.0625*a(0,2)\n"
+    )
+    p = parse(src)
+    q = tcse.apply(p)
+    assert tcse.count_ops(q) < tcse.count_ops(p)
+    x = rng.standard_normal((16, 64)).astype(np.float32)
+    a = numpy_interp.run(p, {"a": x})["out"]
+    b = numpy_interp.run(q, {"a": x})["out"]
+    rim = q.valid_rim()
+    sl = (slice(rim, -rim), slice(rim, -rim)) if rim else (slice(None),) * 2
+    assert np.allclose(a[sl], b[sl], rtol=1e-5, atol=1e-6)
