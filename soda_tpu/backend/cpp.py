@@ -69,14 +69,19 @@ class _Gen:
     def ctype(self, t: ScalarType) -> str:
         if t.is_float:
             return "double" if t.width == 64 else "float"
-        return "int64_t"
+        # full-width unsigned rides an unsigned carrier so value-dependent
+        # ops (/ % < >>) see true values (matches evaluator.acc_of)
+        return "uint64_t" if t.kind == "uint" and t.width >= 64 else "int64_t"
 
     def cast_to(self, code: str, src: ScalarType, dst: ScalarType) -> str:
         if dst.is_float:
             return f"({self.ctype(dst)})({code})"
         if src.is_float:
-            code = f"(int64_t)std::trunc({code})"
-        return f"mask_int({code}, {dst.width}, {str(dst.kind == 'int').lower()})"
+            # cast via the destination carrier: float->int64 of a value in
+            # [2^63, 2^64) is UB, float->uint64 is the defined conversion
+            code = f"({self.ctype(dst)})std::trunc({code})"
+        return (f"({self.ctype(dst)})mask_int({code}, {dst.width}, "
+                f"{str(dst.kind == 'int').lower()})")
 
     def tap(self, name: str, off: tuple[int, ...]) -> tuple[str, ScalarType]:
         t = self.p.tensors[name].type
@@ -113,13 +118,13 @@ class _Gen:
                 lin = lin * d + i
             c = f"{e.name}_p[{lin}]"
             if p.type.is_int:
-                c = f"(int64_t){c}"
+                c = f"({self.ctype(p.type)}){c}"
             return c, p.type
         if isinstance(e, ir.Var):
             p = self.p.params[e.name]
             c = f"{e.name}_p[0]"
             if p.type.is_int:
-                c = f"(int64_t){c}"
+                c = f"({self.ctype(p.type)}){c}"
             return c, p.type
         if isinstance(e, ir.Cast):
             c, src = self.emit(e.operand)
@@ -154,8 +159,12 @@ class _Gen:
             ac = self._coerce(ac, at, t)
             bc = self._coerce(bc, bt, t)
             if op == "/" and t.is_int:
+                if t.kind == "uint" and t.width >= 64:
+                    return f"(({ac}) / ({bc}))", t  # unsigned / is already trunc
                 return f"c_div({ac}, {bc})", t
             if op == "%" and t.is_int:
+                if t.kind == "uint" and t.width >= 64:
+                    return f"(({ac}) % ({bc}))", t
                 return f"c_mod({ac}, {bc})", t
             if op == "%":
                 return f"std::fmod({ac}, {bc})", t
@@ -178,6 +187,8 @@ class _Gen:
                 return out, t
             if e.fn == "abs":
                 c, t = args[0]
+                if t.is_int and t.kind == "uint" and t.width >= 64:
+                    return c, t  # abs of unsigned is the identity
                 return (f"std::abs({c})", t)
             if e.fn == "pow":
                 t = pr(pr(args[0][1], args[1][1]), F32)
@@ -196,6 +207,8 @@ class _Gen:
     def _coerce(self, code: str, src: ScalarType, dst: ScalarType) -> str:
         if dst.is_float and (src.is_int or src.width != dst.width):
             return f"({self.ctype(dst)})({code})"
+        if dst.is_int and src.is_int and self.ctype(src) != self.ctype(dst):
+            return f"({self.ctype(dst)})({code})"  # signed<->unsigned carrier
         return code
 
 

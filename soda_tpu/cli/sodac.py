@@ -136,6 +136,11 @@ def _random_inputs(program, grid_shape, seed):
         t = program.tensors[n].type
         if t.is_float:
             ins[n] = rng.standard_normal(grid_shape).astype(t.np_dtype())
+        elif t.kind == "int":
+            # signed types draw negatives too, so verification exercises
+            # sign-dependent C semantics (/, %, >>) — ADVICE r1
+            hi = 1 << min(t.width - 1, 14)
+            ins[n] = rng.integers(-hi, hi, grid_shape).astype(t.np_dtype())
         else:
             hi = min(1 << min(t.width, 16), 1 << 15)
             ins[n] = rng.integers(0, hi, grid_shape).astype(t.np_dtype())
@@ -313,6 +318,12 @@ def main(argv=None) -> int:
                 if rim:
                     sl = tuple(slice(rim, -rim) for _ in range(a.ndim))
                     a, b = a[sl], b[sl]
+                if a.size == 0:
+                    # np.allclose on empty arrays is vacuously True —
+                    # refuse to claim PASS without comparing anything
+                    raise SystemExit(
+                        f"grid too small to verify: valid rim {rim} leaves "
+                        f"no interior for output {k!r} on {grid_shape}")
                 if not np.allclose(a, b, rtol=1e-4, atol=1e-4):
                     ok = False
                     print(f"MISMATCH {k}: max diff {np.abs(a - b).max()}")
@@ -322,29 +333,66 @@ def main(argv=None) -> int:
 
         if args.benchmark:
             import jax
-            from ..backend import pallas as pb
             import jax.numpy as jnp
-            fn = jax.jit(pb.build_fn(
-                program, the_plan=the_plan, interpret=args.interpret))
+
+            # benchmark the backend that was actually selected (ADVICE r1:
+            # silently timing Pallas under --backend xla misreports)
+            if args.mesh or args.backend == "numpy":
+                raise SystemExit(
+                    "--benchmark supports --backend pallas|xla (got "
+                    f"{'mesh' if args.mesh else args.backend}); run the "
+                    "single-chip backend you want timed")
+            if args.backend == "pallas":
+                from ..backend import pallas as pb
+                fn = jax.jit(pb.build_fn(
+                    program, the_plan=the_plan, interpret=args.interpret))
+            else:
+                from ..backend import xla as xb
+                fn = jax.jit(xb.build_fn(program))
             jins = {k: jnp.asarray(v) for k, v in ins.items()}
             jps = {k: jnp.asarray(v) for k, v in ps.items()}
-            out = fn(jins, jps)
+            compiled = fn.lower(jins, jps).compile()
+            out = compiled(jins, jps)
             jax.block_until_ready(out)
             reps = 5
             t0 = time.perf_counter()
             for _ in range(reps):
-                out = fn(jins, jps)
+                out = compiled(jins, jps)
             jax.block_until_ready(out)
             dt = (time.perf_counter() - t0) / reps
             updates = math_prod(grid_shape) * max(program.iterate, 1)
-            rep = analyze(the_plan)
-            print(f"benchmark: {dt*1e3:.3f} ms/call  "
+            rep = analyze(the_plan, program=program)
+            print(f"benchmark ({args.backend}): {dt*1e3:.3f} ms/call  "
                   f"{updates/dt/1e9:.2f} GCell-updates/s (wall-clock; "
                   f"UNRELIABLE on timing-emulated devices)")
             print(f"analytic:  {rep.bytes_per_cell_update:.3f} B/update -> "
                   f"{rep.est_gcells_per_s_v5e:.1f} GCell-updates/s at v5e "
                   f"819 GB/s ({100*rep.roofline_fraction:.0f}% of single-sweep "
                   f"roofline)")
+            # independent cross-check: XLA cost-model bytes for the whole
+            # jitted program.  The model counts each custom-call operand's
+            # FULL buffer (it cannot see BlockSpec strip windows), so for
+            # multi-operand strips kernels it overcounts aliased reads; for
+            # single-operand plans (windows/linebuffer) it is tight, and a
+            # hidden host-side pad/copy always pushes it up by +2 B/update.
+            try:
+                ca = compiled.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                xla_bytes = sum(v for k, v in ca.items()
+                                if k.startswith("bytes accessed"))
+                xbpc = xla_bytes / updates
+                drift = xbpc / rep.bytes_per_cell_update - 1.0
+                strips = any(g["strategy"] == "strips"
+                             for g in rep.plan["groups"])
+                note = ("coarse: counts whole buffers per aliased strip "
+                        "operand" if strips else
+                        "tight bound for single-operand plans")
+                print(f"xla cost model: {xbpc:.3f} B/update "
+                      f"({'+' if drift >= 0 else ''}{100*drift:.1f}% vs "
+                      f"analytic; {note})")
+            except Exception:
+                pass  # cost model unavailable on this backend
 
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)

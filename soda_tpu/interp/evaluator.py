@@ -45,6 +45,16 @@ class EvalContext:
             return self.xp.int64 if signed else self.xp.uint64
         return self.xp.int32 if signed else self.xp.uint32
 
+    def acc_of(self, t: ScalarType):
+        """Carrier dtype for an integer DSL type: the signed accumulator,
+        EXCEPT unsigned types at/above the accumulator width, which ride an
+        unsigned carrier so value-dependent ops (/ % < >>) see true values.
+        (C integer promotion: narrower unsigned types promote to signed int,
+        so only full-width unsigned stays unsigned — uint32 on the TPU path,
+        uint64 on the 64-bit oracle path.)"""
+        unsigned = t.is_int and t.kind == "uint" and t.width >= self.int_width
+        return self.int_dtype(signed=not unsigned)
+
     def float_dtype(self, width: int):
         if self.int_width == 32:  # TPU path: no f64
             return self.xp.float32
@@ -70,10 +80,12 @@ def _mask_to(ctx: EvalContext, v, t: ScalarType):
     xp = ctx.xp
     if t.is_float:
         return xp.asarray(v).astype(ctx.float_dtype(t.width))
+    if t.width >= ctx.int_width:
+        # full-width: reinterpret into the type's carrier (mod 2^w — the
+        # astype between same-width int dtypes wraps, which IS the masking)
+        return xp.asarray(v).astype(ctx.acc_of(t))
     acc = ctx.int_dtype(signed=True)
     v = xp.asarray(v).astype(acc)
-    if t.width >= ctx.int_width:
-        return v
     mask = (1 << t.width) - 1
     v = xp.bitwise_and(v, mask)
     if t.kind == "int":
@@ -89,7 +101,9 @@ def _to_float(ctx: EvalContext, v, width: int = 32):
 def _trunc_float_to_int(ctx: EvalContext, v, t: ScalarType):
     xp = ctx.xp
     v = xp.trunc(xp.asarray(v))
-    v = v.astype(ctx.int_dtype(signed=True))
+    # direct float->unsigned for full-width unsigned targets: routing
+    # through the signed carrier would clamp values >= 2^(w-1)
+    v = v.astype(ctx.acc_of(t) if t.is_int else ctx.int_dtype(signed=True))
     return _mask_to(ctx, v, t)
 
 
@@ -119,9 +133,10 @@ def eval_expr(e: ir.Expr, ctx: EvalContext) -> tuple[Any, ScalarType]:
         v = ctx.tap(e.name, e.offsets)
         if t.is_float:
             return xp.asarray(v).astype(ctx.float_dtype(t.width)), t
-        # widen storage dtype into the accumulator (sign-correct: storage
-        # dtype already carries the sign of the declared type)
-        return xp.asarray(v).astype(ctx.int_dtype(True)), t
+        # widen storage dtype into the type's carrier (sign-correct: storage
+        # dtype already carries the sign of the declared type; full-width
+        # unsigned rides an unsigned carrier — see acc_of)
+        return xp.asarray(v).astype(ctx.acc_of(t)), t
 
     if isinstance(e, ir.ParamRef):
         p = ctx.params[e.name]
@@ -129,14 +144,14 @@ def eval_expr(e: ir.Expr, ctx: EvalContext) -> tuple[Any, ScalarType]:
         t = prog.params[e.name].type
         if t.is_float:
             return xp.asarray(v).astype(ctx.float_dtype(t.width)), t
-        return xp.asarray(v).astype(ctx.int_dtype(True)), t
+        return xp.asarray(v).astype(ctx.acc_of(t)), t
 
     if isinstance(e, ir.Var):
         t = prog.params[e.name].type
         v = ctx.params[e.name]
         if t.is_float:
             return xp.asarray(v).astype(ctx.float_dtype(t.width)), t
-        return xp.asarray(v).astype(ctx.int_dtype(True)), t
+        return xp.asarray(v).astype(ctx.acc_of(t)), t
 
     if isinstance(e, ir.Cast):
         v, vt = eval_expr(e.operand, ctx)
@@ -183,7 +198,13 @@ def eval_expr(e: ir.Expr, ctx: EvalContext) -> tuple[Any, ScalarType]:
                  ">": a > b, "<=": a <= b, ">=": a >= b}[op]
             return v.astype(ctx.int_dtype(True)), INT32
         if op in ("<<", ">>"):
-            sh = b.astype(ctx.int_dtype(True)) if hasattr(b, "astype") else b
+            # shift in the lhs type's carrier: unsigned full-width types get
+            # a LOGICAL right shift (C), signed get arithmetic; the shift
+            # amount must match the value dtype (mixed-kind shifts promote
+            # unpredictably in numpy)
+            a = xp.asarray(a).astype(ctx.acc_of(at) if at.is_int
+                                     else ctx.int_dtype(True))
+            sh = xp.asarray(b).astype(a.dtype)
             if op == "<<":
                 return xp.left_shift(a, sh), at
             return xp.right_shift(a, sh), at
@@ -259,6 +280,10 @@ def _coerce_to(ctx: EvalContext, v, vt: ScalarType, t: ScalarType):
         return _to_float(ctx, v, t.width)
     if t.is_float and vt.is_float and vt.width != t.width:
         return _to_float(ctx, v, t.width)
+    if t.is_int and not vt.is_float:
+        # align both operands on the promoted type's carrier so mixed
+        # signed/unsigned ops follow C conversions (int32 -> uint32 wraps)
+        return ctx.xp.asarray(v).astype(ctx.acc_of(t))
     return v
 
 

@@ -172,3 +172,47 @@ def test_half_precision_storage():
     assert got.dtype == np.float16
     assert np.allclose(out.astype(np.float64), got.astype(np.float64),
                        rtol=2e-3, atol=2e-3)
+
+
+def test_uint32_full_range_value_ops():
+    """ADVICE r1: uint32 values >= 2^31 must get unsigned /, %, comparisons
+    on every backend (type-directed carriers, not a uniform signed
+    accumulator)."""
+    from soda_tpu.backend import pallas as pb
+    from soda_tpu.backend import xla as xb
+
+    src = (
+        "kernel: u32ops\n"
+        "input uint32: a(64, *)\n"
+        "output uint32: out(0, 0) = (a(0,0) > a(0,1)) ? (a(0,0) / 2)"
+        " : (a(0,1) % 7)\n"
+    )
+    p = parse(src)
+    x = np.array([[3000000000, 2**31 + 5, 9, 4000000001, 17, 2**32 - 1]] * 8,
+                 dtype=np.uint32)
+    gold = run(p, {"a": x})["out"]
+    assert gold[0, 0] == 1500000000  # signed carrier would give 7
+    for got in (xb.run(p, {"a": x})["out"],
+                pb.run(p, {"a": x}, interpret=True)["out"]):
+        assert np.array_equal(gold[:, :-1], got[:, :-1])
+
+
+def test_uint64_full_range_oracle_vs_cpp():
+    """Full-range uint64 value-dependent ops: oracle and C++ golden runner
+    must agree above 2^63 (unsigned carrier on the 64-bit paths)."""
+    from soda_tpu.backend import cpp
+
+    src = (
+        "kernel: u64ops\n"
+        "input uint64: a(64, *)\n"
+        "output uint64: out(0, 0) = (a(0,0) > a(0,1)) ? (a(0,0) / 3)"
+        " : (a(0,1) >> 2)\n"
+    )
+    p = parse(src)
+    y = np.array([[2**63 + 9, 2**64 - 7, 11, 2**63]] * 4, dtype=np.uint64)
+    gold = run(p, {"a": y})["out"]
+    # a(0,0)=2^63+9 < a(0,1)=2^64-7 only under UNSIGNED comparison; the
+    # else branch then logical-shifts the unsigned value
+    assert gold[0, 0] == (2**64 - 7) >> 2
+    got = cpp.compile_and_run(p, {"a": y})["out"]
+    assert np.array_equal(gold, got)
