@@ -26,7 +26,7 @@ from soda_tpu.interp import numpy_interp
 from soda_tpu.backend import pallas as pallas_backend
 
 SODA = pathlib.Path(__file__).resolve().parents[1] / "tests" / "soda"
-SHAPES = {2: (48, 128), 3: (24, 32, 128)}
+SHAPES = {1: (2048,), 2: (48, 128), 3: (24, 32, 128)}
 
 
 def main() -> int:

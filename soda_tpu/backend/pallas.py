@@ -482,6 +482,33 @@ def _resolve_interpret(interpret) -> bool:
     return bool(interpret)
 
 
+def _lift_rank1(program: StencilProgram) -> StencilProgram:
+    """Lift a rank-1 program to rank 2 with a unit leading dim: Mosaic has
+    no 1-D vector layouts, so 1-D programs run as (1, X) 2-D arrays whose
+    taps are all lane shifts."""
+    from ..ir import expr as ir_expr
+    from ..ir.program import Tensor
+
+    def lift_expr(e):
+        if e is None:
+            return None
+        return ir_expr.mutate(
+            e, lambda n: ir_expr.Ref(n.name, (0,) + n.offsets)
+            if isinstance(n, ir_expr.Ref) else None)
+
+    tensors = {
+        n: Tensor(t.name, t.type, lift_expr(t.expr), t.dram,
+                  None if t.tile_size is None else (1,) + tuple(t.tile_size),
+                  t.is_output)
+        for n, t in program.tensors.items()
+    }
+    return StencilProgram(
+        name=program.name, tensors=tensors, params=program.params,
+        rank=2, burst_width=program.burst_width, iterate=program.iterate,
+        unroll_factor=program.unroll_factor, border=program.border,
+        cluster=program.cluster)
+
+
 def build_fn(program: StencilProgram, the_plan: Plan | None = None,
              grid_shape: tuple[int, ...] | None = None,
              interpret: bool | str = "auto", iterate: int | None = None,
@@ -490,6 +517,19 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
     (all groups, all temporal chunks) on a fixed grid shape."""
     interpret = _resolve_interpret(interpret)
     check_tpu_supported(program)
+    if program.rank == 1:
+        base = tuple(grid_shape or (the_plan.grid_shape if the_plan else ()))
+        if not base:
+            raise ValueError("need grid_shape or a Plan")
+        inner = build_fn(_lift_rank1(program), None, (1,) + base,
+                         interpret=interpret, iterate=iterate, **plan_kwargs)
+
+        def fn1(inputs: Mapping[str, jax.Array],
+                params: Mapping[str, jax.Array]):
+            ins2 = {k: jnp.asarray(v)[None, :] for k, v in inputs.items()}
+            return {k: v[0] for k, v in inner(ins2, params).items()}
+
+        return fn1
     it = max(program.iterate if iterate is None else iterate, 1)
     if the_plan is None:
         if grid_shape is None:

@@ -240,6 +240,10 @@ def _plan_group(
         if block_override is not None:
             yield tuple(block_override)
             return
+        if rank == 1:
+            # lane-dim-only programs: one full-extent block, no tiled dims
+            yield (grid_shape[0],)
+            return
         if rank == 2:
             for bh in (1024, 768, 512, 384, 256, 192, 128, 96, 64, 48,
                        32, 24, 16, 8):
@@ -251,8 +255,15 @@ def _plan_group(
                     if bz % q == 0 and by % q == 0:
                         yield (bz, by, grid_shape[2])
         else:
-            raise ValueError(
-                f"rank {rank} not supported by the planner (2D/3D only)")
+            # rank-general: tile every leading dim from a shared ladder,
+            # lane dim always full extent (rank >= 4 is exotic for stencils
+            # but the DSL allows it — SURVEY.md §2.4 N-D offsets)
+            import itertools as it
+
+            ladders = [(64, 32, 16, 8)] * (rank - 1)
+            for combo in it.product(*ladders):
+                if all(b % q == 0 for b in combo):
+                    yield combo + (grid_shape[-1],)
 
     def evaluate(block, halo, strips=False):
         grid = []

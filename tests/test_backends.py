@@ -22,7 +22,7 @@ from soda_tpu.backend import cpp as cpp_backend
 
 SODA = pathlib.Path(__file__).parent / "soda"
 CORPUS = sorted(glob.glob(str(SODA / "*.soda")))
-SHAPES = {2: (48, 128), 3: (24, 32, 128)}
+SHAPES = {1: (1024,), 2: (48, 128), 3: (24, 32, 128)}
 rng = np.random.default_rng(11)
 
 

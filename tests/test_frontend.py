@@ -20,7 +20,7 @@ def test_corpus_parses():
     for f in CORPUS:
         p = parse_file(f)
         assert p.name
-        assert p.rank in (2, 3)
+        assert p.rank in (1, 2, 3)
         assert p.output_names
 
 
