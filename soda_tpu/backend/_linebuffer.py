@@ -38,8 +38,11 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
     assert rank == 3 and g.sweeps == 1
     bz, by, X = g.block
     Z, Y, _ = grid_shape
-    Gz = Z // bz
-    Gy = Y // by
+    # aligned-core hybrid: the march's world is the core (== grid when
+    # aligned); rows beyond it come from the XLA rim pass (_apply_rims)
+    Zc, Yc = (g.core[0], g.core[1]) if g.core else (Z, Y)
+    Gz = Zc // bz
+    Gy = Yc // by
     rz_lo = max((-g.spans[i][0][0] for i in g.external_inputs), default=0)
     rz_hi = max((g.spans[i][0][1] for i in g.external_inputs), default=0)
     # y halo (strip width) from the plan; 0 when y is untiled (by == Y)
@@ -63,7 +66,7 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
                 elif _kind == -1:
                     y = pl.multiple_of(jnp.maximum(j * by - hy, 0), 8)
                 else:
-                    y = pl.multiple_of(jnp.minimum((j + 1) * by, Y - hy), 8)
+                    y = pl.multiple_of(jnp.minimum((j + 1) * by, Yc - hy), 8)
                 return (z, y, 0)
 
             in_specs.append(pl.BlockSpec(

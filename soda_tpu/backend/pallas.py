@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..interp.evaluator import EvalContext, eval_expr, store_cast
 from ..ir.program import StencilProgram
-from ..plan.planner import GroupPlan, Plan, plan as make_plan
+from ..plan.planner import GroupPlan, Plan, _round_up, plan as make_plan
 
 
 def _compute_dtype(program: StencilProgram, name: str):
@@ -241,6 +241,9 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
     X = grid_shape[-1]
     n_tiled = rank - 1
     param_names = _group_params(program, g)
+    # aligned-core hybrid: the kernel's world is the core; rows beyond it
+    # are produced by the XLA rim pass (see _apply_rims)
+    cshape = g.core or grid_shape
 
     # piece kinds per tiled dim per input: -1 (lo strip), 0 (center), +1 (hi)
     def kinds_for(name):
@@ -269,7 +272,7 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
                 out = []
                 for d in range(n_tiled):
                     B = block[d]
-                    D = grid_shape[d]
+                    D = cshape[d]
                     # center clamps so the last (possibly partial) block
                     # overlaps its predecessor: overlapping recompute is
                     # idempotent, so D need only be tile-quantum aligned
@@ -296,7 +299,7 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
     def out_imap(*gidx):
         return tuple(
             pl.multiple_of(
-                jnp.minimum(gidx[d] * block[d], grid_shape[d] - block[d]), 8)
+                jnp.minimum(gidx[d] * block[d], cshape[d] - block[d]), 8)
             for d in range(n_tiled)) + (0,)
 
     out_specs = [
@@ -391,14 +394,109 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
     return fn
 
 
+def _eval_group_slab(program: StencilProgram, g: GroupPlan,
+                     ins: Mapping[str, jax.Array], params) -> dict:
+    """Evaluate a group's stages on a full slab with zero-fill taps (the
+    plain-XLA equivalent of the kernel's constant-extent evaluation) —
+    used for the ragged-rim pass of the aligned-core hybrid.
+
+    Taps use the XLA backend's pad+slice shift, NOT roll: jnp.roll lowers
+    to width-1 lane slices whose layout preference makes XLA pick a
+    transposed entry layout and wrap the main custom call in full
+    transposing copies (verified on v5e)."""
+    from .xla import shifted_jnp
+
+    if g.sweeps == 1:
+        vals = dict(ins)
+        ctx = EvalContext(
+            program=program, xp=jnp,
+            tap=lambda p, off: shifted_jnp(jnp.asarray(vals[p]), off),
+            params=params, int_width=32)
+        for name in g.stages:
+            t = program.tensors[name]
+            v, vt = eval_expr(t.expr, ctx)
+            vals[name] = store_cast(ctx, v, vt, t.type)
+        return {n: vals[n] for n in g.outputs}
+    in_name = g.external_inputs[0]
+    out_name = g.outputs[0]
+    a = jnp.asarray(ins[in_name]).astype(_compute_dtype(program, in_name))
+
+    def body(_, a):
+        vals = {in_name: a}
+        ctx = EvalContext(
+            program=program, xp=jnp,
+            tap=lambda p, off: shifted_jnp(vals[p], off),
+            params=params, int_width=32)
+        for name in g.stages:
+            t = program.tensors[name]
+            v, vt = eval_expr(t.expr, ctx)
+            vals[name] = store_cast(ctx, v, vt, t.type)
+        return vals[out_name]
+
+    return {out_name: jax.lax.fori_loop(0, g.sweeps, body, a)}
+
+
+def _apply_rims(program: StencilProgram, g: GroupPlan,
+                grid_shape: tuple[int, ...], values, params, outs) -> dict:
+    """Ragged-rim pass of the aligned-core hybrid: for each leading dim
+    whose extent is not tile-quantum aligned, the kernel ran on the
+    rounded-down core and zero-filled taps at the core's hi edge; recompute
+    everything within that creep from a thin input slab (XLA evaluation,
+    unaligned extents are fine there) and stitch it in with an in-place
+    dynamic-update-slice."""
+    rank = program.rank
+    nf = g.sweeps
+    outs = dict(outs)
+    for d in range(rank - 1):
+        if g.core[d] == grid_shape[d]:
+            continue
+        hi = max((g.spans[i][d][1] for i in g.external_inputs), default=0) \
+            + (nf - 1) * g.sweep_span[d][1]
+        lo = max((-g.spans[i][d][0] for i in g.external_inputs), default=0) \
+            + (nf - 1) * -g.sweep_span[d][0]
+        keep_lo = g.core[d] - hi       # first invalid-or-unwritten row
+        in_lo = max(keep_lo - lo, 0)   # slab start: taps of kept rows
+        # keep the slab's extent a sublane multiple: XLA's layout
+        # assignment otherwise prefers a transposed entry layout for the
+        # skinny slab ops and inserts full transposing copies around the
+        # main kernel's custom call (verified on v5e)
+        in_lo = min(in_lo,
+                    max(grid_shape[d] - _round_up(grid_shape[d] - in_lo, 8),
+                        0))
+        slab_ins = {
+            n: jax.lax.slice_in_dim(jnp.asarray(values[n]),
+                                    in_lo, grid_shape[d], axis=d)
+            for n in g.external_inputs
+        }
+        slab_outs = _eval_group_slab(program, g, slab_ins, params)
+        for n in g.outputs:
+            rim = jax.lax.slice_in_dim(
+                slab_outs[n], keep_lo - in_lo, slab_outs[n].shape[d], axis=d)
+            start = [0] * rank
+            start[d] = keep_lo
+            outs[n] = jax.lax.dynamic_update_slice(
+                outs[n], rim.astype(outs[n].dtype), tuple(start))
+    return outs
+
+
 def build_group_fn(program: StencilProgram, g: GroupPlan,
                    grid_shape: tuple[int, ...], interpret: bool = False):
     """fn(values: dict, params: dict) -> dict for one fused group call."""
-    if g.strategy == "linebuffer":
-        from ._linebuffer import build_linebuffer_group_fn
-        return build_linebuffer_group_fn(program, g, grid_shape, interpret)
-    if g.strategy == "strips":
-        return _build_strips_group_fn(program, g, grid_shape, interpret)
+    if g.strategy in ("linebuffer", "strips"):
+        if g.strategy == "linebuffer":
+            from ._linebuffer import build_linebuffer_group_fn
+            base = build_linebuffer_group_fn(program, g, grid_shape, interpret)
+        else:
+            base = _build_strips_group_fn(program, g, grid_shape, interpret)
+        if g.core is None:
+            return base
+
+        def fn_hybrid(values: Mapping[str, jax.Array],
+                      params: Mapping[str, jax.Array]):
+            outs = base(values, params)
+            return _apply_rims(program, g, grid_shape, values, params, outs)
+
+        return fn_hybrid
     rank = program.rank
     block = g.block
     X = grid_shape[-1]

@@ -62,7 +62,13 @@ class GroupPlan:
     hbm_bytes_per_call: int              # analytic traffic (incl. halo re-reads + pad copies)
     useful_cells_per_call: int
     compute_extent_ratio: float          # VPU overwork vs useful cells
-    strategy: str = "windows"            # "windows" | "linebuffer"
+    strategy: str = "windows"            # "windows" | "strips" | "linebuffer"
+    # aligned-core hybrid (strips/linebuffer on non-8/16-aligned grids):
+    # the kernel runs on the q-aligned core treating it as the whole grid;
+    # a thin XLA-evaluated rim slab per unaligned leading dim overwrites
+    # everything within the zero-fill creep of the core edge.  None = the
+    # grid is aligned and no rim is needed.
+    core: tuple[int, ...] | None = None
 
     def describe(self) -> str:
         eff = self.useful_cells_per_call * 8 / max(self.hbm_bytes_per_call, 1)
@@ -111,6 +117,7 @@ class Plan:
                     "useful_cells_per_call": g.useful_cells_per_call,
                     "bytes_per_cell_update": g.hbm_bytes_per_call / max(g.useful_cells_per_call, 1),
                     "compute_extent_ratio": g.compute_extent_ratio,
+                    "core": None if g.core is None else list(g.core),
                 }
                 for g in self.groups
             ],
@@ -236,6 +243,43 @@ def _plan_group(
         halo_strips[i] = tuple(hs)
     dtype_bytes = 4  # compute/intermediate dtype (f32/int32)
 
+    # ---- aligned-core hybrid bookkeeping (pad-free strategies on grids
+    # whose leading dims are not tile-quantum aligned): the kernel runs on
+    # the rounded-down core as if it were the whole grid; outputs within
+    # `creep` of the core's hi edge are invalid (zero-filled taps) and a
+    # thin XLA rim slab re-computes [core - creep, D) per unaligned dim ---
+    creep = []      # invalid output depth at a zero-filled hi core edge
+    lo_reach = []   # input reach below an output row (for rim slab sizing)
+    for d in range(rank - 1):
+        hi = max((spans[i][d][1] for i in ext_inputs), default=0) \
+            + (nf - 1) * out_span[d][1]
+        lo = max((-spans[i][d][0] for i in ext_inputs), default=0) \
+            + (nf - 1) * -out_span[d][0]
+        creep.append(hi)
+        lo_reach.append(lo)
+    core = tuple(grid_shape[d] // q * q for d in range(rank - 1)) \
+        + (grid_shape[-1],)
+    hybrid_dims = [d for d in range(rank - 1) if core[d] != grid_shape[d]]
+
+    def rim_traffic() -> int:
+        """Honest rim bytes: slab reads + rim writes per unaligned dim
+        (assumes XLA fuses the slab slice into the rim evaluation and the
+        stitch dynamic-update-slice is in-place)."""
+        in_io = sum(io_bytes(i) for i in ext_inputs)
+        out_io = sum(io_bytes(o) for o in outputs)
+        total = 0
+        for d in hybrid_dims:
+            others = math.prod(
+                grid_shape[k] for k in range(rank) if k != d)
+            keep = grid_shape[d] - (core[d] - creep[d])
+            total += (keep + lo_reach[d]) * others * in_io * nf
+            total += keep * others * out_io
+        return total
+
+    def core_ok(block) -> bool:
+        return all(core[d] >= max(block[d], creep[d] + lo_reach[d], q)
+                   for d in range(rank - 1))
+
     def candidates():
         if block_override is not None:
             yield tuple(block_override)
@@ -265,10 +309,11 @@ def _plan_group(
                 if all(b % q == 0 for b in combo):
                     yield combo + (grid_shape[-1],)
 
-    def evaluate(block, halo, strips=False):
+    def evaluate(block, halo, strips=False, shape=None):
+        shape = grid_shape if shape is None else shape
         grid = []
         for d in range(rank - 1):
-            grid.append(_round_up(grid_shape[d], block[d]) // block[d])
+            grid.append(_round_up(shape[d], block[d]) // block[d])
         win_bytes = 0
         for i in ext_inputs:
             w = 1
@@ -332,20 +377,23 @@ def _plan_group(
             key = (bpc, -math.prod(block))
             if best is None or key < best[0]:
                 best = (key, block, ev, "windows")
-        # pad-free strips variant: grid dims need only be tile-quantum
-        # aligned (the last block clamps and overlaps — idempotent
-        # recompute), provided any remainder can host the hi halo strip
+        # pad-free strips variant: runs on the q-aligned CORE (the whole
+        # grid when aligned; rounded down + XLA rim otherwise).  Within the
+        # core the last block clamps and overlaps — idempotent recompute —
+        # provided any remainder can host the hi halo strip.
         def strips_ok():
+            if not core_ok(block):
+                return False
             for d in range(rank - 1):
-                D, B = grid_shape[d], block[d]
-                if D % q != 0 or D < B:
+                D, B = core[d], block[d]
+                if D < B:
                     return False
                 rem = D % B
                 hmax_lo = max((halo_strips[i][d][0] for i in ext_inputs),
                               default=0)
                 hmax_hi = max((halo_strips[i][d][1] for i in ext_inputs),
                               default=0)
-                # strip starts clamp against the array ends; an interior
+                # strip starts clamp against the core ends; an interior
                 # block's strip must never hit the clamp, so the block must
                 # be at least as wide as the halo on each side
                 if B < hmax_lo or B < hmax_hi:
@@ -355,7 +403,8 @@ def _plan_group(
             return True
 
         if strips_ok():
-            evs = evaluate(block, halo_strips, strips=True)
+            evs = evaluate(block, halo_strips, strips=True, shape=core)
+            evs["traffic"] += rim_traffic()
             if evs["vmem"] <= vmem_budget and not (
                     evs["waste"] > max_compute_waste and nf > 1):
                 bpc = evs["traffic"] / evs["useful"]
@@ -369,27 +418,30 @@ def _plan_group(
     #    line buffer, one-read-per-cell) --------------------------------
     if rank == 3 and nf == 1 and block_override is None:
         Z, Y, X = grid_shape
+        Zc, Yc = core[0], core[1]  # == Z, Y when the grid is aligned
         rz_lo = max((-spans[i][0][0] for i in ext_inputs), default=0)
         rz_hi = max((spans[i][0][1] for i in ext_inputs), default=0)
         ry = max(max(-spans[i][1][0], spans[i][1][1])
                  for i in ext_inputs) if ext_inputs else 0
-        y_cands = [Y] + [b for b in (512, 256, 128, 64, 32)
-                         if b < Y and Y % b == 0 and b % q == 0]
+        y_cands = [Yc] + [b for b in (512, 256, 128, 64, 32)
+                          if b < Yc and Yc % b == 0 and b % q == 0]
         for bz in (8, 16, 24, 32, 48, 64):
             # one-block lookahead: the high halo must fit in the next block
-            if Z % bz != 0 or bz < rz_hi or bz % q != 0:
+            if Zc % bz != 0 or bz < rz_hi or bz % q != 0:
                 continue
-            G = Z // bz
+            if hybrid_dims and not core_ok((bz, y_cands[0], X)):
+                continue
+            G = Zc // bz
             for by in y_cands:
-                hy = 0 if by == Y else _round_up(ry, q)
-                if by != Y and hy == 0 and ry > 0:
+                hy = 0 if by == Yc else _round_up(ry, q)
+                if by != Yc and hy == 0 and ry > 0:
                     hy = q
                 # interior y-strips clamp against the array ends; the halo
                 # must fit within the block or clamped strips misalign
                 if hy > by:
                     continue
                 wy = by + 2 * hy
-                Gy = Y // by
+                Gy = Yc // by
                 block = (bz, by, X)
                 plane_c = wy * X * dtype_bytes
                 in_io = sum(io_bytes(i) for i in ext_inputs)
@@ -406,14 +458,14 @@ def _plan_group(
                 writes = Z * Y * X * out_io
                 useful = Z * Y * X * max(len(outputs), 1) * updates_per_cell
                 waste = ((bz + rz_lo + rz_hi) * wy) / (bz * by)
-                bpc = (reads + writes) / useful
+                bpc = (reads + writes + rim_traffic()) / useful
                 key = (bpc, -bz * by)
                 if best is None or key < best[0]:
                     halo_lb = {
                         i: ((0, 0), (hy, hy), (0, 0)) for i in ext_inputs}
                     best = (key, block,
                             dict(grid=(Gy, G + 1), vmem=vmem,
-                                 traffic=reads + writes,
+                                 traffic=reads + writes + rim_traffic(),
                                  useful=useful, waste=waste,
                                  halo_lb=halo_lb), "linebuffer")
 
@@ -439,6 +491,8 @@ def _plan_group(
         useful_cells_per_call=ev["useful"],
         compute_extent_ratio=ev["waste"],
         strategy=strategy,
+        core=(core if strategy in ("strips", "linebuffer") and hybrid_dims
+              else None),
     )
 
 

@@ -207,3 +207,63 @@ def test_rank4_plans_and_runs():
     r = p.valid_rim()
     sl = tuple(slice(r, -r) for _ in range(4))
     assert np.allclose(gold[sl], got[sl], rtol=1e-5, atol=1e-6)
+
+
+def test_unaligned_grid_keeps_padfree_strategy():
+    """Round 2 (VERDICT #5): non-8-aligned grids keep strips/linebuffer via
+    the aligned-core + XLA-rim hybrid instead of falling back to padded
+    windows; analytic traffic stays near the roofline."""
+    p = parse_file(SODA / "jacobi3d.soda")
+    pl = plan(p, (500, 500, 500))
+    g = pl.groups[0]
+    assert g.strategy == "linebuffer"
+    assert g.core == (496, 496, 500)
+    bpc = g.hbm_bytes_per_call / g.useful_cells_per_call
+    assert bpc <= 8.5  # the VERDICT's done-criterion
+
+    p2 = parse_file(SODA / "gaussian2d.soda")
+    pl2 = plan(p2, (100, 128))
+    assert pl2.groups[0].strategy == "strips"
+    assert pl2.groups[0].core == (96, 128)
+
+
+def test_hybrid_rim_matches_oracle():
+    """Aligned-core hybrid correctness on unaligned grids: linebuffer 3D,
+    strips 2D (uint16, bit-exact), and fused-sweep strips."""
+    import numpy as np
+
+    from soda_tpu.backend import pallas as pb
+    from soda_tpu.interp import numpy_interp
+
+    rng = np.random.default_rng(11)
+
+    p = parse_file(SODA / "jacobi3d.soda")
+    gs = (28, 37, 130)
+    assert plan(p, gs).groups[0].core is not None
+    x = rng.standard_normal(gs).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})["t1"]
+    got = pb.run(p, {"t0": x}, interpret=True)["t1"]
+    r = p.valid_rim()
+    sl = tuple(slice(r, -r) for _ in range(3))
+    assert np.allclose(gold[sl], got[sl], rtol=1e-5, atol=1e-6)
+
+    p2 = parse_file(SODA / "gaussian2d.soda")
+    gs2 = (100, 128)
+    y = rng.integers(0, 60000, gs2).astype(np.uint16)
+    gold2 = numpy_interp.run(p2, {"g_in": y})["g_out"]
+    got2 = pb.run(p2, {"g_in": y}, interpret=True)["g_out"]
+    r2 = p2.valid_rim()
+    sl2 = (slice(r2, -r2), slice(r2, -r2))
+    assert np.array_equal(gold2[sl2], got2[sl2])
+
+    p3 = parse_file(SODA / "jacobi2d.soda")
+    gs3 = (100, 128)
+    pl3 = plan(p3, gs3, sweeps=4)
+    assert pl3.groups[0].core is not None and pl3.groups[0].sweeps == 4
+    z = rng.standard_normal(gs3).astype(np.float32)
+    name_in, name_out = p3.input_names[0], p3.output_names[0]
+    gold3 = numpy_interp.run(p3, {name_in: z})[name_out]
+    got3 = pb.run(p3, {name_in: z}, interpret=True, the_plan=pl3)[name_out]
+    r3 = p3.valid_rim()
+    sl3 = (slice(r3, -r3), slice(r3, -r3))
+    assert np.allclose(gold3[sl3], got3[sl3], rtol=1e-4, atol=1e-5)
