@@ -161,10 +161,75 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
                     for d in range(rank - 1)) + (slice(None),)
                 v = v[center]
             ref[:] = v.astype(ref.dtype)
+    elif g.trapezoid:
+        # trapezoid fused sweeps: Python-unrolled with exact SHRINKING
+        # extents — sweep s (m = sweeps-1-s remaining) computes only
+        # block + m*creep, eliminating the constant-extent margin
+        # recompute.  Auxiliary (non-feedback) inputs are sweep-invariant
+        # windows tapped like stage values.
+        fb = (program.input_names[0]
+              if program.input_names[0] in g.external_inputs
+              else g.external_inputs[0])
+        out_name = g.outputs[0]
+        creep = g.sweep_span
+
+        # per-array (origin, per-leading-dim) bookkeeping; origins are
+        # relative to the output block, always <= 0
+        origins: dict[str, tuple[int, ...]] = {}
+        vals: dict[str, jax.Array] = {}
+        for name in g.external_inputs:
+            h = g.halo[name]
+            origins[name] = tuple(-h[d][0] for d in range(rank - 1))
+            vals[name] = values[name]
+        vals[fb] = vals[fb].astype(_compute_dtype(program, fb))
+
+        for s in range(g.sweeps):
+            m = g.sweeps - 1 - s
+            to = tuple(m * creep[d][0] for d in range(rank - 1))
+            te = tuple(block[d] + m * (creep[d][1] - creep[d][0])
+                       for d in range(rank - 1))
+            stage_o = {}
+            stage_e = {}
+            for st in g.stages:
+                sp = g.spans.get(st, tuple((0, 0) for _ in range(rank)))
+                stage_o[st] = tuple(to[d] + sp[d][0]
+                                    for d in range(rank - 1))
+                stage_e[st] = tuple(te[d] - sp[d][0] + sp[d][1]
+                                    for d in range(rank - 1))
+            cur_stage = [""]
+            sweep_vals: dict[str, jax.Array] = {}
+
+            def tap(parent, off):
+                st = cur_stage[0]
+                so, se = stage_o[st], stage_e[st]
+                # a parent computed THIS sweep shadows last sweep's value
+                if parent in sweep_vals:
+                    pv, po = sweep_vals[parent], stage_o[parent]
+                else:
+                    pv, po = vals[parent], origins[parent]
+                sl = tuple(
+                    slice(so[d] + off[d] - po[d],
+                          so[d] + off[d] - po[d] + se[d])
+                    for d in range(rank - 1)) + (slice(None),)
+                return _lane_shift(pv[sl], off[-1])
+
+            ctx = EvalContext(program=program, xp=jnp, tap=tap,
+                              params=params, int_width=32)
+            for st in g.stages:
+                cur_stage[0] = st
+                t = program.tensors[st]
+                v, vt = eval_expr(t.expr, ctx)
+                sweep_vals[st] = store_cast(ctx, v, vt, t.type)
+            # feed back: the sweep's output becomes next sweep's fb value
+            vals[fb] = sweep_vals[out_name].astype(
+                _compute_dtype(program, fb))
+            origins[fb] = stage_o[out_name]
+        out_refs[0][:] = vals[fb].astype(out_refs[0].dtype)
     else:
-        # constant-extent fused sweeps (single input/output enforced by
-        # program validation): zero-fill taps; invalid values creep one
-        # sweep-span inward per sweep, staying inside the halo.
+        # constant-extent fused sweeps: zero-fill taps; invalid values
+        # creep one sweep-span inward per sweep, staying inside the halo.
+        # (No auxiliary inputs on this path — the planner caps fused
+        # sweeps so aux-input programs take the trapezoid path.)
         in_name = g.external_inputs[0]
         out_name = g.outputs[0]
 
@@ -650,7 +715,9 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
             values.update(gfn(values, params))
         outs = {n: values[n] for n in program.output_names}
         for _ in range(chunks - 1):
-            values = {in_name: outs[out_name]}
+            # feedback: output -> first input; auxiliary inputs carry over
+            values = {n: inputs[n] for n in program.input_names}
+            values[in_name] = outs[out_name]
             for g, gfn in zip(the_plan.groups, group_fns):
                 values.update(gfn(values, params))
             outs = {n: values[n] for n in program.output_names}

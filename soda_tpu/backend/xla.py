@@ -77,10 +77,12 @@ def build_fn(program: StencilProgram, iterate: int | None = None):
         def body(arrs, _):
             arrs = dict(arrs)
             arrs = _sweep(program, arrs, params_c)
-            nxt = {in_name: arrs[out_name]}
+            # feedback: output -> first input; auxiliary inputs carry over
+            nxt = {n: arrs[n] for n in program.input_names}
+            nxt[in_name] = arrs[out_name]
             return nxt, None
 
-        state = {in_name: arrays[in_name]}
+        state = {n: arrays[n] for n in program.input_names}
         state, _ = jax.lax.scan(body, state, None, length=it)
         return {out_name: state[in_name]}
 

@@ -266,13 +266,17 @@ class StencilProgram:
                     raise ValueError(f"stage {n!r} references undefined param {v.name!r}")
         self.stage_order()  # raises on cycles
         if self.iterate > 1:
-            if len(self.input_names) != 1 or len(self.output_names) != 1:
-                raise ValueError("iterate > 1 requires exactly one input and one output")
+            # feedback pair = FIRST input <- the single output; any further
+            # inputs are sweep-invariant auxiliaries (e.g. a denoise rhs)
+            if len(self.input_names) < 1 or len(self.output_names) != 1:
+                raise ValueError(
+                    "iterate > 1 requires at least one input (the first is "
+                    "the iterated state) and exactly one output")
             i, o = self.input_names[0], self.output_names[0]
             if self.tensors[i].type != self.tensors[o].type:
                 raise ValueError(
-                    f"iterate > 1 requires matching input/output types "
-                    f"({self.tensors[i].type} vs {self.tensors[o].type})")
+                    f"iterate > 1 requires matching feedback input/output "
+                    f"types ({self.tensors[i].type} vs {self.tensors[o].type})")
 
     # ---- introspection -----------------------------------------------------
 

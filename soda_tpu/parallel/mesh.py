@@ -161,7 +161,10 @@ def build_sharded_fn(
                     v, vt = eval_expr(t.expr, ctx)
                     out[name] = store_cast(ctx, v, vt, t.type)
                 if nf > 1 and s + 1 < nf:
-                    out = {in_name: out[out_names[0]]}
+                    # feedback: output -> first input; aux inputs carry over
+                    nxt = {n: out[n] for n in program.input_names}
+                    nxt[in_name] = out[out_names[0]]
+                    out = nxt
             return out
 
         # interior: full local compute (independent of the exchange)
@@ -234,7 +237,9 @@ def build_sharded_fn(
         for s in range(nf):
             arrs = sweep(arrs)
             if nf > 1 and s + 1 < nf:
-                arrs = {in_name: arrs[out_names[0]]}
+                nxt = {n: arrs[n] for n in program.input_names}
+                nxt[in_name] = arrs[out_names[0]]
+                arrs = nxt
 
         out = {}
         for n in out_names:
@@ -251,7 +256,9 @@ def build_sharded_fn(
                   for n in program.input_names}
         outs = local_chunk(arrays, params)
         for _ in range(it // nf - 1):
-            outs = local_chunk({in_name: outs[out_names[0]]}, params)
+            nxt = {n: arrays[n] for n in program.input_names}
+            nxt[in_name] = outs[out_names[0]]
+            outs = local_chunk(nxt, params)
         return outs
 
     sharded = jax.shard_map(

@@ -40,6 +40,12 @@ from ..ir.program import StencilProgram
 
 Span = tuple[tuple[int, int], ...]  # per-dim (lo, hi), lo <= 0 <= hi
 
+# fused sweeps up to this count run Python-unrolled with exact shrinking
+# extents (trapezoid); beyond it, a constant-extent fori_loop keeps the
+# Mosaic kernel size (and compile time) bounded.  8 is the empirical knee
+# from round 1's --unroll-iterate probes.
+TRAPEZOID_MAX_SWEEPS = 8
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -69,6 +75,11 @@ class GroupPlan:
     # everything within the zero-fill creep of the core edge.  None = the
     # grid is aligned and no rim is needed.
     core: tuple[int, ...] | None = None
+    # fused sweeps executed as a Python-unrolled chain with exact SHRINKING
+    # extents (trapezoid schedule) instead of a constant-extent fori_loop —
+    # cuts the per-sweep creep-margin recompute.  Capped at small sweep
+    # counts: each unrolled sweep grows the Mosaic kernel.
+    trapezoid: bool = False
 
     def describe(self) -> str:
         eff = self.useful_cells_per_call * 8 / max(self.hbm_bytes_per_call, 1)
@@ -360,7 +371,21 @@ def _plan_group(
             max_ext = 1
             for d in range(rank):
                 max_ext *= block[d] + halo[i0][d][0] + halo[i0][d][1]
-        waste = max_ext / math.prod(block)
+        if nf > 1 and nf <= TRAPEZOID_MAX_SWEEPS:
+            # trapezoid schedule: sweep s computes extent block + m*creep
+            # (m = remaining sweeps), not the constant full window —
+            # compute waste is the trapezoid volume, not the prism
+            total_ext = 0
+            for s in range(nf):
+                m = nf - 1 - s
+                e = 1
+                for d in range(rank - 1):
+                    e *= (block[d]
+                          + m * (out_span[d][1] - out_span[d][0]))
+                total_ext += e * block[rank - 1]
+            waste = total_ext / (nf * math.prod(block))
+        else:
+            waste = max_ext / math.prod(block)
         return dict(grid=tuple(grid), vmem=vmem,
                     traffic=reads + writes + pad_bytes,
                     useful=useful, waste=waste)
@@ -493,6 +518,8 @@ def _plan_group(
         strategy=strategy,
         core=(core if strategy in ("strips", "linebuffer") and hybrid_dims
               else None),
+        trapezoid=(nf > 1 and nf <= TRAPEZOID_MAX_SWEEPS
+                   and strategy in ("windows", "strips")),
     )
 
 
@@ -533,6 +560,13 @@ def plan(
     #    sweeps on halo blowup (fused sweeps must divide iterate — a
     #    non-divisor would silently under-execute sweeps in chunked calls)
     nf = it if sweeps is None else max(1, min(sweeps, it))
+    if len(program.input_names) > 1 and nf > TRAPEZOID_MAX_SWEEPS:
+        # auxiliary iterate inputs require the trapezoid kernel path (the
+        # constant-extent fori carries only the feedback tensor): cap fused
+        # sweeps and run more chunked calls instead
+        nf = TRAPEZOID_MAX_SWEEPS
+        notes.append(
+            f"auxiliary inputs: fused sweeps capped at {nf} (trapezoid)")
     while it % nf != 0:
         nf -= 1
     if sweeps is not None and nf != sweeps:

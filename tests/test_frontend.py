@@ -112,12 +112,20 @@ def test_cycle_rejected():
         )
 
 
-def test_iterate_requires_single_io():
-    with pytest.raises(ValueError, match="iterate"):
+def test_iterate_feedback_rules():
+    # round 2: extra inputs are allowed as sweep-invariant auxiliaries; the
+    # FIRST input is the iterated state and must type-match the output
+    p = parse(
+        "kernel: t\niterate: 2\n"
+        "input float: a(64, *)\ninput float: c(64, *)\n"
+        "output float: b(0,0) = a(0,0) + c(0,0)\n"
+    )
+    assert p.input_names[0] == "a"
+    with pytest.raises(ValueError, match="feedback"):
         parse(
             "kernel: t\niterate: 2\n"
-            "input float: a(64, *)\ninput float: c(64, *)\n"
-            "output float: b(0,0) = a(0,0) + c(0,0)\n"
+            "input uint16: a(64, *)\n"
+            "output float: b(0,0) = a(0,0) + 1.0f\n"
         )
 
 

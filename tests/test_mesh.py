@@ -156,3 +156,25 @@ def test_overlap_mode_equals_synchronous():
                                rtol=1e-6, atol=1e-6), (name, k)
         gold = numpy_interp.run(p, ins)
         check(p, over, gold)
+
+
+def test_sharded_aux_input_iterate():
+    """Round 2: iterate with an auxiliary (non-feedback) input — the aux
+    tensor must be exchanged and carried across sweeps/chunks."""
+    p = parse_file(SODA / "denoise2p.soda")
+    u = rng.standard_normal((64, 128)).astype(np.float32)
+    f = rng.standard_normal((64, 128)).astype(np.float32)
+    gold = numpy_interp.run(p, {"u": u, "f": f})
+    got = run_sharded(p, {"u": u, "f": f}, axis_sizes=[4])
+    check(p, got, gold)
+
+
+def test_sharded_aux_input_chunked():
+    """Aux input with sweeps_per_exchange < iterate (chunked feedback)."""
+    p = parse_file(SODA / "denoise2p.soda")
+    u = rng.standard_normal((64, 128)).astype(np.float32)
+    f = rng.standard_normal((64, 128)).astype(np.float32)
+    gold = numpy_interp.run(p, {"u": u, "f": f})
+    got = run_sharded(p, {"u": u, "f": f}, axis_sizes=[4],
+                      sweeps_per_exchange=2)
+    check(p, got, gold)

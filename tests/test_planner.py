@@ -267,3 +267,37 @@ def test_hybrid_rim_matches_oracle():
     r3 = p3.valid_rim()
     sl3 = (slice(r3, -r3), slice(r3, -r3))
     assert np.allclose(gold3[sl3], got3[sl3], rtol=1e-4, atol=1e-5)
+
+
+def test_trapezoid_cuts_compute_waste():
+    """Round 2 (VERDICT #6): fused sweeps <= 8 run the trapezoid schedule;
+    compute_extent_ratio drops from the constant-extent ~1.25-1.6x to
+    within a few % of 1.0."""
+    p = parse_file(SODA / "jacobi2d.soda")
+    pl = plan(p, (1024, 1024), sweeps=8)
+    g = pl.groups[0]
+    assert g.trapezoid
+    assert g.compute_extent_ratio < 1.1
+
+
+def test_aux_input_iterate_backends():
+    """iterate with an auxiliary input: pallas (trapezoid) and xla match
+    the oracle; fused sweeps capped at the trapezoid limit."""
+    import numpy as np
+
+    from soda_tpu.backend import pallas as pb, xla as xb
+    from soda_tpu.interp import numpy_interp
+
+    p = parse_file(SODA / "denoise2p.soda")
+    gs = (128, 128)
+    g = plan(p, gs).groups[0]
+    assert g.trapezoid and set(g.external_inputs) == {"u", "f"}
+    rng2 = __import__("numpy").random.default_rng(9)
+    u = rng2.standard_normal(gs).astype(np.float32)
+    f = rng2.standard_normal(gs).astype(np.float32)
+    gold = numpy_interp.run(p, {"u": u, "f": f})["u1"]
+    r = p.valid_rim()
+    sl = (slice(r, -r), slice(r, -r))
+    for got in (pb.run(p, {"u": u, "f": f}, interpret=True)["u1"],
+                xb.run(p, {"u": u, "f": f})["u1"]):
+        assert np.allclose(gold[sl], got[sl], rtol=1e-4, atol=1e-5)
