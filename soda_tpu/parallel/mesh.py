@@ -139,63 +139,96 @@ def build_sharded_fn(
 
     tspec = spec_for_tensor()
 
+    def sweeps_on(arrs: dict, params: dict) -> dict:
+        """nf zero-fill sweeps on whatever extents `arrs` has (XLA path)."""
+        out = dict(arrs)
+        for s in range(nf):
+            ctx = EvalContext(
+                program=program, xp=jnp,
+                tap=lambda name, off: xla_backend.shifted_jnp(out[name], off),
+                params=params, int_width=32)
+            for name in program.stage_order():
+                t = program.tensors[name]
+                v, vt = eval_expr(t.expr, ctx)
+                out[name] = store_cast(ctx, v, vt, t.type)
+            if nf > 1 and s + 1 < nf:
+                # feedback: output -> first input; aux inputs carry over
+                nxt = {n: out[n] for n in program.input_names}
+                nxt[in_name] = out[out_names[0]]
+                out = nxt
+        return out
+
     def local_chunk_overlap(arrays: dict, params: dict) -> dict:
-        """Comms/compute overlap (1-D sharding): the interior of the shard
-        is computed from purely local data while the ppermute halo exchange
-        is in flight (XLA overlaps the async collective with the
-        independent interior computation); only the boundary strips are
-        recomputed from the exchanged halo.  Identical results to the
-        synchronous path — the interior is exactly the region unaffected
-        by halo data."""
-        (d, (lo, hi, ax)), = halos.items()
+        """Comms/compute overlap (any mesh rank, xla or pallas local
+        backend): the shard interior is computed from purely local data
+        while the ppermute halo exchange is in flight (XLA overlaps the
+        async collective with the independent interior computation); only
+        thin boundary strips per sharded dim are recomputed from the
+        exchanged arrays and stitched in with in-place
+        dynamic-update-slices.  Identical results to the synchronous path —
+        the interior is exactly the region unaffected by halo data, and
+        strip slabs carry the other dims' halos so corners are exact."""
+        # interior: full local compute on the RAW shard (zero-filled edges;
+        # invalid only within the lo/hi bands replaced below)
+        if local_backend == "pallas":
+            from ..backend import pallas as pallas_backend
 
-        def sweeps_on(arrs: dict) -> dict:
-            out = dict(arrs)
-            for s in range(nf):
-                ctx = EvalContext(
-                    program=program, xp=jnp,
-                    tap=lambda name, off: xla_backend.shifted_jnp(out[name], off),
-                    params=params, int_width=32)
-                for name in program.stage_order():
-                    t = program.tensors[name]
-                    v, vt = eval_expr(t.expr, ctx)
-                    out[name] = store_cast(ctx, v, vt, t.type)
-                if nf > 1 and s + 1 < nf:
-                    # feedback: output -> first input; aux inputs carry over
-                    nxt = {n: out[n] for n in program.input_names}
-                    nxt[in_name] = out[out_names[0]]
-                    out = nxt
-            return out
+            shard_shape = tuple(next(iter(arrays.values())).shape)
+            pfn = pallas_backend.build_fn(
+                program, grid_shape=shard_shape, iterate=nf,
+                interpret=interpret)
+            local_out = pfn(arrays, params)
+        else:
+            local_out = sweeps_on(arrays, params)
 
-        # interior: full local compute (independent of the exchange)
-        local_out = sweeps_on(dict(arrays))
-        # boundary windows from the exchanged array: the low strip [0, lo)
-        # needs taps down to ext 0 and creep margin hi above -> window
-        # ext[0 : 2*lo + hi]; symmetric for the high strip
-        ext = {n: halo_exchange(x, d, lo, hi, ax) for n, x in arrays.items()}
-        n_loc = next(iter(arrays.values())).shape[d]
-        lo_in = {n: jax.lax.slice_in_dim(x, 0, 2 * lo + hi, axis=d)
-                 for n, x in ext.items()}
-        hi_in = {n: jax.lax.slice_in_dim(x, x.shape[d] - (2 * hi + lo),
-                                         x.shape[d], axis=d)
-                 for n, x in ext.items()}
-        lo_out = sweeps_on(lo_in)
-        hi_out = sweeps_on(hi_in)
+        ext = {}
+        for n, x in arrays.items():
+            for d, (lo, hi, ax) in halos.items():
+                x = halo_exchange(x, d, lo, hi, ax)
+            ext[n] = x
 
-        out = {}
-        for n in out_names:
-            center = jax.lax.slice_in_dim(
-                local_out[n], lo, n_loc - hi, axis=d)
-            lo_strip = jax.lax.slice_in_dim(lo_out[n], lo, 2 * lo, axis=d)
-            hi_sz = hi_out[n].shape[d]
-            hi_strip = jax.lax.slice_in_dim(
-                hi_out[n], hi_sz - 2 * hi, hi_sz - hi, axis=d)
-            out[n] = jnp.concatenate([lo_strip, center, hi_strip], axis=d)
+        out = {n: local_out[n] for n in out_names}
+        shard = next(iter(arrays.values())).shape
+        for d, (lo, hi, _ax) in halos.items():
+            # low strip: local rows [0, lo) need ext rows [0, 2lo + hi);
+            # high strip symmetric.  Slabs keep the OTHER dims' halos, so
+            # after evaluation the other dims are cropped to their centers.
+            slabs = []
+            if lo > 0:
+                slabs.append(("lo", {
+                    n: jax.lax.slice_in_dim(x, 0, 2 * lo + hi, axis=d)
+                    for n, x in ext.items()}))
+            if hi > 0:
+                slabs.append(("hi", {
+                    n: jax.lax.slice_in_dim(
+                        x, x.shape[d] - (2 * hi + lo), x.shape[d], axis=d)
+                    for n, x in ext.items()}))
+            for side, slab_in in slabs:
+                slab_out = sweeps_on(slab_in, params)
+                for n in out_names:
+                    v = slab_out[n]
+                    # crop other sharded dims to their shard centers
+                    for e, (lo_e, hi_e, _axe) in halos.items():
+                        if e != d:
+                            v = jax.lax.slice_in_dim(
+                                v, lo_e, lo_e + shard[e], axis=e)
+                    sz = v.shape[d]
+                    if side == "lo":
+                        strip = jax.lax.slice_in_dim(v, lo, 2 * lo, axis=d)
+                        pos = 0
+                    else:
+                        strip = jax.lax.slice_in_dim(
+                            v, sz - 2 * hi, sz - hi, axis=d)
+                        pos = shard[d] - hi
+                    start = [0] * program.rank
+                    start[d] = pos
+                    out[n] = jax.lax.dynamic_update_slice(
+                        out[n], strip.astype(out[n].dtype), tuple(start))
         return out
 
     def local_chunk(arrays: dict, params: dict) -> dict:
         """nf fused sweeps on halo-extended shards; returns center shards."""
-        if overlap and len(halos) == 1 and local_backend == "xla":
+        if overlap and halos:
             return local_chunk_overlap(arrays, params)
         ext = {}
         for n, x in arrays.items():
@@ -222,24 +255,7 @@ def build_sharded_fn(
                 out[n] = x
             return out
 
-        def sweep(arrs):
-            ctx = EvalContext(
-                program=program, xp=jnp,
-                tap=lambda name, off: xla_backend.shifted_jnp(arrs[name], off),
-                params=params, int_width=32)
-            for name in program.stage_order():
-                t = program.tensors[name]
-                v, vt = eval_expr(t.expr, ctx)
-                arrs[name] = store_cast(ctx, v, vt, t.type)
-            return arrs
-
-        arrs = dict(ext)
-        for s in range(nf):
-            arrs = sweep(arrs)
-            if nf > 1 and s + 1 < nf:
-                nxt = {n: arrs[n] for n in program.input_names}
-                nxt[in_name] = arrs[out_names[0]]
-                arrs = nxt
+        arrs = sweeps_on(dict(ext), params)
 
         out = {}
         for n in out_names:

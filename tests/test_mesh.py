@@ -178,3 +178,33 @@ def test_sharded_aux_input_chunked():
     got = run_sharded(p, {"u": u, "f": f}, axis_sizes=[4],
                       sweeps_per_exchange=2)
     check(p, got, gold)
+
+
+def test_overlap_mode_2d_mesh_and_pallas():
+    """Round 2 (VERDICT #9): overlap mode generalized to 2-D meshes and the
+    Pallas local backend — identical results to the synchronous path and
+    the oracle (corners exact via halo-carrying strip slabs)."""
+    p = parse_file(SODA / "jacobi2d.soda")
+    shape = (64, 64, )
+    x = rng.standard_normal(shape).astype(np.float32)
+    ins = {p.input_names[0]: x}
+    gold = numpy_interp.run(p, ins)
+    # 2-D mesh, xla local backend
+    sync = run_sharded(p, ins, axis_sizes=[2, 2], dims=[0, 1])
+    over = run_sharded(p, ins, axis_sizes=[2, 2], dims=[0, 1], overlap=True)
+    for k in sync:
+        assert np.allclose(sync[k], over[k], rtol=1e-6, atol=1e-6)
+    check(p, over, gold)
+    # 1-D mesh, pallas local backend (interpret on the CPU sim)
+    overp = run_sharded(p, ins, axis_sizes=[4], dims=[0], overlap=True,
+                        local_backend="pallas", interpret=True)
+    check(p, overp, gold)
+    # 2-D mesh + pallas + iterate with chunked exchange on a 3D program
+    p3 = parse_file(SODA / "heat3d.soda")
+    x3 = rng.standard_normal((32, 32, 128)).astype(np.float32)
+    ins3 = {p3.input_names[0]: x3}
+    gold3 = numpy_interp.run(p3, ins3)
+    over3 = run_sharded(p3, ins3, axis_sizes=[2, 2], dims=[0, 1],
+                        overlap=True, local_backend="pallas",
+                        interpret=True, sweeps_per_exchange=1)
+    check(p3, over3, gold3)
