@@ -29,12 +29,133 @@ from ..ir.program import StencilProgram
 from ..plan.planner import GroupPlan
 
 
+def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
+                                grid_shape: tuple[int, ...],
+                                interpret: bool = False):
+    """Rank-2 row-march: grid (G+1,) over sublane-dim blocks of bh rows;
+    persistent VMEM carry holds the last (bh + rlo8) rows per input.  At
+    step i the kernel assembles slab rows [(i-1)*bh - rlo8, i*bh + rhi8)
+    from carry + the next block's first rhi8 rows (zeros past the core
+    edge) and evaluates the group at exact extents via _eval_group.  All
+    carry/lookahead row counts are sublane-quantum multiples, so every
+    sublane concat/slice is tile-aligned (round 1's unaligned variant hung
+    Mosaic)."""
+    from .pallas import _eval_group, _group_params, _io_dtype, _read_params
+
+    bh, W = g.block
+    H, _ = grid_shape
+    Hc = g.core[0] if g.core else H
+    G = Hc // bh
+    n_in = len(g.external_inputs)
+    param_names = _group_params(program, g)
+    # uniform rounded halo (planner sets the same for every input)
+    rlo8 = max(g.halo[i][0][0] for i in g.external_inputs)
+    rhi8 = max(g.halo[i][0][1] for i in g.external_inputs)
+
+    in_specs = []
+    for _name in g.external_inputs:
+        def imap(i):
+            return (pl.multiple_of(jnp.minimum(i, G - 1) * bh, 8), 0)
+
+        in_specs.append(pl.BlockSpec(
+            (pl.Element(bh), pl.Element(W)), imap,
+            memory_space=pltpu.VMEM))
+    for _ in param_names:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    out_specs = [
+        pl.BlockSpec((bh, W), lambda i: (jnp.maximum(i - 1, 0), 0),
+                     memory_space=pltpu.VMEM)
+        for _ in g.outputs
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((H, W), _io_dtype(program, o))
+        for o in g.outputs
+    ]
+    scratch = [
+        pltpu.VMEM((bh + rlo8, W), _io_dtype(program, n))
+        for n in g.external_inputs
+    ]
+
+    def kernel(*refs):
+        in_refs = refs[:n_in]
+        par_refs = refs[n_in:n_in + len(param_names)]
+        out_refs = refs[n_in + len(param_names):
+                        n_in + len(param_names) + len(g.outputs)]
+        carry_refs = refs[n_in + len(param_names) + len(g.outputs):]
+
+        i = pl.program_id(0)
+        params = _read_params(program, param_names, par_refs)
+
+        @pl.when(i > 0)
+        def _():
+            values = {}
+            for k, n in enumerate(g.external_inputs):
+                parts = [carry_refs[k][:]]
+                if rhi8:
+                    b = in_refs[k][:]
+                    zeros_top = jnp.zeros((rhi8, W), b.dtype)
+                    parts.append(jnp.where(i == G, zeros_top, b[:rhi8]))
+                values[n] = (jnp.concatenate(parts, axis=0)
+                             if len(parts) > 1 else parts[0])
+            _eval_group(program, g, values, params, out_refs)
+
+        for k, n in enumerate(g.external_inputs):
+            b = in_refs[k][:]
+
+            @pl.when(i == 0)
+            def _(b=b, k=k):
+                zeros_lo = jnp.zeros((rlo8, W), b.dtype)
+                carry_refs[k][:] = (jnp.concatenate([zeros_lo, b], axis=0)
+                                    if rlo8 else b)
+
+            @pl.when((i > 0) & (i < G))
+            def _(b=b, k=k):
+                old = carry_refs[k][:]
+                carry_refs[k][:] = (jnp.concatenate([old[bh:], b], axis=0)
+                                    if rlo8 else b)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(G + 1,),
+        in_specs=in_specs,
+        out_specs=out_specs[0] if len(out_specs) == 1 else tuple(out_specs),
+        out_shape=out_shapes[0] if len(out_shapes) == 1 else tuple(out_shapes),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=128 * 2**20,
+        ),
+        interpret=interpret,
+    )
+
+    def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
+        ops = []
+        for n in g.external_inputs:
+            ops.append(jnp.asarray(values[n], _io_dtype(program, n)))
+        for name in param_names:
+            p = jnp.asarray(params[name])
+            t = program.params[name].type
+            p = p.astype(jnp.float32 if t.is_float else jnp.int32)
+            if p.ndim < 2:
+                p = p.reshape((1,) * (2 - p.ndim) + p.shape)
+            ops.append(p)
+        outs = call(*ops)
+        if len(g.outputs) == 1:
+            outs = (outs,)
+        return dict(zip(g.outputs, outs))
+
+    return fn
+
+
 def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
                               grid_shape: tuple[int, ...],
                               interpret: bool = False):
     from .pallas import _group_params, _io_dtype, _read_params, _shift_all
 
     rank = program.rank
+    if rank == 2:
+        return build_linebuffer2d_group_fn(program, g, grid_shape, interpret)
     assert rank == 3 and g.sweeps == 1
     bz, by, X = g.block
     Z, Y, _ = grid_shape

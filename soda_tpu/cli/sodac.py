@@ -240,6 +240,21 @@ def main(argv=None) -> int:
     if args.report:
         did_something = True
         print(analyze(the_plan, program=program).pretty())
+        # flag-compat honesty: knobs accepted for reference-CLI parity that
+        # have no behavioral meaning on TPU (the planner/VPU subsume them)
+        inert = []
+        if program.unroll_factor > 1:
+            inert.append(f"unroll factor {program.unroll_factor} "
+                         "(subsumed by 8x128 VPU vectorization)")
+        if program.burst_width:
+            inert.append(f"burst width {program.burst_width} "
+                         "(subsumed by Mosaic DMA pipelining)")
+        if any(t.dram != (1,) for t in program.tensors.values()):
+            inert.append("dram channel lists (single HBM on TPU)")
+        if program.cluster and program.cluster != "none":
+            inert.append(f"cluster {program.cluster}")
+        for line in inert:
+            print(f"  accepted-inert: {line}")
 
     if args.cpp_golden or args.xocl_kernel or args.xocl_host:
         did_something = True

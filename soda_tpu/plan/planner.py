@@ -437,6 +437,50 @@ def _plan_group(
                 if best is None or key < best[0]:
                     best = (key, block, evs, "strips")
 
+    # -- line-buffer row-march (rank-2, single sweep): Blocked row slabs
+    #    over the sublane dim with R carried rows in persistent VMEM
+    #    scratch — one HBM read per cell (the 2-D form of SODA's line
+    #    buffer).  Carry and lookahead are rounded to the sublane quantum
+    #    so every concat/slice in the kernel is tile-aligned (round 1's
+    #    unaligned sublane concat is what hung Mosaic). ------------------
+    if rank == 2 and nf == 1 and block_override is None and ext_inputs:
+        H, W = grid_shape
+        Hc = core[0]
+        r_lo = max(-spans[i][0][0] for i in ext_inputs)
+        r_hi = max(spans[i][0][1] for i in ext_inputs)
+        if r_lo or r_hi:
+            rlo8 = _round_up(r_lo, q)
+            rhi8 = _round_up(r_hi, q) if r_hi else 0
+            in_io = sum(io_bytes(i) for i in ext_inputs)
+            out_io = sum(io_bytes(o) for o in outputs)
+            for bh in (8, 16, 24, 32, 48, 64, 128):
+                if Hc % bh or bh % q or bh < rhi8 or bh < rlo8:
+                    continue
+                if hybrid_dims and not core_ok((bh, W)):
+                    continue
+                G = Hc // bh
+                S = bh + rlo8 + rhi8  # slab rows
+                vmem = (2 * bh * W * in_io          # double-buffered blocks
+                        + 2 * bh * W * out_io
+                        + (bh + rlo8) * W * in_io   # carry scratch
+                        + S * W * dtype_bytes * (len(ext_inputs)
+                                                 + len(members) + 1))
+                if vmem > vmem_budget:
+                    continue
+                reads = (G + 1) * bh * W * in_io
+                writes = H * W * out_io
+                useful = H * W * max(len(outputs), 1) * updates_per_cell
+                waste = (bh + r_lo + r_hi) / bh  # exact-extent stage eval
+                bpc = (reads + writes + rim_traffic()) / useful
+                key = (bpc, -bh)
+                if best is None or key < best[0]:
+                    halo_lb = {i: ((rlo8, rhi8), (0, 0)) for i in ext_inputs}
+                    best = (key, (bh, W),
+                            dict(grid=(G + 1,), vmem=vmem,
+                                 traffic=reads + writes + rim_traffic(),
+                                 useful=useful, waste=waste,
+                                 halo_lb=halo_lb), "linebuffer")
+
     # -- line-buffer z-march (rank-3, single sweep): Blocked slabs over the
     #    leading dim with R carried planes in persistent VMEM scratch —
     #    no halo re-reads, no host-pad copies (the VMEM analog of SODA's
