@@ -51,20 +51,29 @@ def halo_exchange(x: jax.Array, dim: int, lo: int, hi: int,
     Device i receives the top `lo` rows of device i-1 as its low halo and
     the bottom `hi` rows of device i+1 as its high halo; edge devices get
     zeros (ppermute non-received outputs are zero — matches the border
-    convention)."""
+    convention).  Halos WIDER than one shard gather from k-hop neighbors
+    with one ppermute per hop (ICI routes multi-hop; XLA can overlap the
+    independent sends)."""
     n = jax.lax.axis_size(axis_name)
+    n_loc = x.shape[dim]
     parts = []
     if lo > 0:
-        send = jax.lax.slice_in_dim(x, x.shape[dim] - lo, x.shape[dim], axis=dim)
-        recv = jax.lax.ppermute(send, axis_name,
-                                [(j, j + 1) for j in range(n - 1)])
-        parts.append(recv)
+        hops = -(-lo // n_loc)
+        for k in range(hops, 0, -1):  # farthest neighbor first (top-down)
+            cnt = min(n_loc, lo - (k - 1) * n_loc)
+            send = jax.lax.slice_in_dim(x, n_loc - cnt, n_loc, axis=dim)
+            recv = jax.lax.ppermute(send, axis_name,
+                                    [(j, j + k) for j in range(n - k)])
+            parts.append(recv)
     parts.append(x)
     if hi > 0:
-        send = jax.lax.slice_in_dim(x, 0, hi, axis=dim)
-        recv = jax.lax.ppermute(send, axis_name,
-                                [(j, j - 1) for j in range(1, n)])
-        parts.append(recv)
+        hops = -(-hi // n_loc)
+        for k in range(1, hops + 1):  # nearest neighbor first (top-down)
+            cnt = min(n_loc, hi - (k - 1) * n_loc)
+            send = jax.lax.slice_in_dim(x, 0, cnt, axis=dim)
+            recv = jax.lax.ppermute(send, axis_name,
+                                    [(j, j - k) for j in range(k, n)])
+            parts.append(recv)
     if len(parts) == 1:
         return x
     return jnp.concatenate(parts, axis=dim)
@@ -116,12 +125,12 @@ def build_sharded_fn(
                     f"axis {ax!r} ({mesh_sizes[ax]})")
             shard = grid_shape[d] // mesh_sizes[ax]
             r = max(-out_span[d][0], out_span[d][1])
-            while nf > 1 and (nf * r > shard or it % nf != 0):
-                nf -= 1
-            if nf * r > shard:
-                raise ValueError(
-                    f"halo {nf * r} exceeds shard extent {shard} on dim {d}; "
-                    f"use fewer devices on that axis")
+            # auto-chosen nf prefers halos within one shard (single-hop
+            # exchange); an EXPLICIT sweeps_per_exchange is honored — wider
+            # halos gather from k-hop neighbors in halo_exchange
+            if sweeps_per_exchange is None:
+                while nf > 1 and (nf * r > shard or it % nf != 0):
+                    nf -= 1
 
     halos = {}
     for ax, d in zip(axis_names, dims):

@@ -208,3 +208,24 @@ def test_overlap_mode_2d_mesh_and_pallas():
                         overlap=True, local_backend="pallas",
                         interpret=True, sweeps_per_exchange=1)
     check(p3, over3, gold3)
+
+
+def test_multihop_halo_exchange():
+    """Round 2: halos wider than one shard gather from k-hop neighbors
+    (e.g. 8 devices on 16 rows -> 2-row shards with a 4-row halo)."""
+    p = parse_file(SODA / "gaussian2d.soda")  # cumulative radius 2 on dim 0
+    x = rng.integers(0, 60000, (8, 128)).astype(np.uint16)  # 1-row shards
+    ins = {"g_in": x}
+    gold = numpy_interp.run(p, ins)
+    got = run_sharded(p, ins, axis_sizes=[8], dims=[0])
+    check(p, got, gold, rtol=0, atol=0)
+
+    # iterate with fused sweeps pushing the halo past two shards: 8 sweeps
+    # x radius 1 = 8-row halo over 4-row shards (explicit nf is honored)
+    p2 = parse_file(SODA / "jacobi2d.soda")
+    x2 = rng.standard_normal((32, 128)).astype(np.float32)
+    ins2 = {p2.input_names[0]: x2}
+    gold2 = numpy_interp.run(p2, ins2, iterate=8)
+    got2 = run_sharded(p2, ins2, axis_sizes=[8], dims=[0], iterate=8,
+                       sweeps_per_exchange=8)
+    check(p2, got2, gold2, rim=p2.valid_rim(iterate=8))
