@@ -734,8 +734,9 @@ def check_tpu_supported(program: StencilProgram) -> None:
         if ty.is_int and ty.width > 32:
             raise NotImplementedError(
                 f"tensor {n!r} is {ty}: integer widths > 32 are not "
-                f"supported on the TPU path (int32 accumulators); use the "
-                f"NumPy or C++ oracle backends")
+                f"supported on the Pallas path (Mosaic is 32-bit); use "
+                f"--backend xla (64-bit wide mode, exact s64 on TPU) or "
+                f"the NumPy/C++ oracle backends")
 
 
 def finalize_outputs(program: StencilProgram, outs) -> dict:

@@ -32,21 +32,31 @@ def shifted_jnp(a: jax.Array, offsets: tuple[int, ...]) -> jax.Array:
     return ap[tuple(out_slices)]
 
 
-def _compute_dtype(program: StencilProgram, name: str):
+def _needs_wide(program: StencilProgram) -> bool:
+    """True when any tensor/param is wider than the 32-bit TPU word."""
+    types = [t.type for t in program.tensors.values()]
+    types += [p.type for p in program.params.values()]
+    return any(t.width > 32 for t in types)
+
+
+def _compute_dtype(program: StencilProgram, name: str, wide: bool = False):
     t = program.tensors[name].type
     if t.is_float:
-        return jnp.float32
+        return jnp.float64 if wide and t.width > 32 else jnp.float32
+    if wide:
+        return jnp.int64
     return jnp.int32
 
 
-def _sweep(program: StencilProgram, arrays: dict, params: dict) -> dict:
+def _sweep(program: StencilProgram, arrays: dict, params: dict,
+           int_width: int = 32) -> dict:
     """One sweep over full grids; returns updated tensor dict."""
     ctx = EvalContext(
         program=program,
         xp=jnp,
         tap=lambda name, off: shifted_jnp(arrays[name], off),
         params=params,
-        int_width=32,
+        int_width=int_width,
     )
     for name in program.stage_order():
         t = program.tensors[name]
@@ -58,25 +68,36 @@ def _sweep(program: StencilProgram, arrays: dict, params: dict) -> dict:
 def build_fn(program: StencilProgram, iterate: int | None = None):
     """Build a jittable fn(inputs: dict, params: dict) -> dict of outputs.
 
-    Arrays are in TPU compute dtypes (float32 / int32); the caller converts
-    to declared storage dtypes if needed (run() does this)."""
+    Arrays are in TPU compute dtypes (float32 / int32).  Programs with
+    >32-bit types run in WIDE mode: int64 accumulators (exact — XLA
+    emulates s64 on TPU) and float64 (XLA's f32-pair emulation, ~2^-50
+    precision); requires jax x64 — run() wraps the call in
+    jax.enable_x64(True).  The caller converts to declared
+    storage dtypes if needed (run() does this)."""
     it = program.iterate if iterate is None else iterate
     it = max(it, 1)
     in_name = program.input_names[0]
     out_name = program.output_names[0]
+    wide = _needs_wide(program)
+    int_width = 64 if wide else 32
 
     def fn(inputs: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
-        arrays = {n: jnp.asarray(inputs[n], _compute_dtype(program, n))
+        if wide and not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                f"program {program.name!r} uses >32-bit types: run under "
+                "jax.enable_x64(True) (xla.run does this "
+                "automatically)")
+        arrays = {n: jnp.asarray(inputs[n], _compute_dtype(program, n, wide))
                   for n in program.input_names}
         params_c = {k: jnp.asarray(v) for k, v in params.items()}
 
         if it == 1:
-            arrays = _sweep(program, arrays, params_c)
+            arrays = _sweep(program, arrays, params_c, int_width)
             return {n: arrays[n] for n in program.output_names}
 
         def body(arrs, _):
             arrs = dict(arrs)
-            arrs = _sweep(program, arrs, params_c)
+            arrs = _sweep(program, arrs, params_c, int_width)
             # feedback: output -> first input; auxiliary inputs carry over
             nxt = {n: arrs[n] for n in program.input_names}
             nxt[in_name] = arrs[out_name]
@@ -105,5 +126,12 @@ def run(
     fn = build_fn(program, iterate)
     if jit:
         fn = jax.jit(fn)
-    outs = fn(dict(inputs), dict(params or {}))
+    if _needs_wide(program):
+        # 64-bit programs: exact int64 (XLA-emulated s64 on TPU) and
+        # emulated float64; scoped so the global default dtypes stay 32-bit
+        with jax.enable_x64(True):
+            outs = fn(dict(inputs), dict(params or {}))
+            outs = {k: np.asarray(v) for k, v in outs.items()}
+    else:
+        outs = fn(dict(inputs), dict(params or {}))
     return finalize_outputs(program, outs)
