@@ -91,20 +91,13 @@ def main() -> int:
     # --- independent cross-check: XLA cost-model bytes for the whole
     # jitted program (catches hidden pad/copy traffic the planner does not
     # plan; excludes intra-kernel halo re-reads the planner does count) ---
-    xla_bpc = None
+    xla_bpc = report_mod.xla_bytes_per_update(compiled, N ** 3)
     cross_check_ok = None
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        xla_bytes = sum(v for k, v in ca.items() if k.startswith("bytes accessed"))
-        xla_bpc = xla_bytes / float(N ** 3)
+    if xla_bpc is not None:
         # analytic must bound xla from above, and by <5% for the headline
         cross_check_ok = bool(
             rep.bytes_per_cell_update >= xla_bpc - 1e-6
             and rep.bytes_per_cell_update <= xla_bpc * 1.05)
-    except Exception:
-        pass  # cost model unavailable on this backend — omit, don't fail
 
     # --- wall-clock (labeled unreliable on timing-emulated devices) ---
     t0 = time.perf_counter()

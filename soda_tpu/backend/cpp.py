@@ -77,9 +77,12 @@ class _Gen:
         if dst.is_float:
             return f"({self.ctype(dst)})({code})"
         if src.is_float:
-            # cast via the destination carrier: float->int64 of a value in
-            # [2^63, 2^64) is UB, float->uint64 is the defined conversion
-            code = f"({self.ctype(dst)})std::trunc({code})"
+            # route through int64 then reinterpret: float->unsigned of a
+            # negative value is UB in C++, while float->int64 + two's-
+            # complement wrap is defined for |v| < 2^63 and matches the
+            # oracle's conversion (values beyond +/-2^63 are out of the
+            # DSL's contract)
+            code = f"(int64_t)std::trunc({code})"
         return (f"({self.ctype(dst)})mask_int({code}, {dst.width}, "
                 f"{str(dst.kind == 'int').lower()})")
 

@@ -482,12 +482,17 @@ def _eval_group_slab(program: StencilProgram, g: GroupPlan,
             v, vt = eval_expr(t.expr, ctx)
             vals[name] = store_cast(ctx, v, vt, t.type)
         return {n: vals[n] for n in g.outputs}
-    in_name = g.external_inputs[0]
+    fb = (program.input_names[0] if program.input_names[0] in ins
+          else g.external_inputs[0])
     out_name = g.outputs[0]
-    a = jnp.asarray(ins[in_name]).astype(_compute_dtype(program, in_name))
+    a = jnp.asarray(ins[fb]).astype(_compute_dtype(program, fb))
+    # auxiliary (non-feedback) inputs are sweep-invariant: close over them
+    # rather than threading them through the fori carry
+    aux = {n: jnp.asarray(v) for n, v in ins.items() if n != fb}
 
     def body(_, a):
-        vals = {in_name: a}
+        vals = dict(aux)
+        vals[fb] = a
         ctx = EvalContext(
             program=program, xp=jnp,
             tap=lambda p, off: shifted_jnp(vals[p], off),
@@ -496,7 +501,7 @@ def _eval_group_slab(program: StencilProgram, g: GroupPlan,
             t = program.tensors[name]
             v, vt = eval_expr(t.expr, ctx)
             vals[name] = store_cast(ctx, v, vt, t.type)
-        return vals[out_name]
+        return vals[out_name].astype(a.dtype)
 
     return {out_name: jax.lax.fori_loop(0, g.sweeps, body, a)}
 

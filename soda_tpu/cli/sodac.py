@@ -390,13 +390,10 @@ def main(argv=None) -> int:
             # multi-operand strips kernels it overcounts aliased reads; for
             # single-operand plans (windows/linebuffer) it is tight, and a
             # hidden host-side pad/copy always pushes it up by +2 B/update.
-            try:
-                ca = compiled.cost_analysis()
-                if isinstance(ca, (list, tuple)):
-                    ca = ca[0]
-                xla_bytes = sum(v for k, v in ca.items()
-                                if k.startswith("bytes accessed"))
-                xbpc = xla_bytes / updates
+            from ..utils.report import xla_bytes_per_update
+
+            xbpc = xla_bytes_per_update(compiled, updates)
+            if xbpc is not None:
                 drift = xbpc / rep.bytes_per_cell_update - 1.0
                 strips = any(g["strategy"] == "strips"
                              for g in rep.plan["groups"])
@@ -406,8 +403,6 @@ def main(argv=None) -> int:
                 print(f"xla cost model: {xbpc:.3f} B/update "
                       f"({'+' if drift >= 0 else ''}{100*drift:.1f}% vs "
                       f"analytic; {note})")
-            except Exception:
-                pass  # cost model unavailable on this backend
 
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)

@@ -101,9 +101,17 @@ def _to_float(ctx: EvalContext, v, width: int = 32):
 def _trunc_float_to_int(ctx: EvalContext, v, t: ScalarType):
     xp = ctx.xp
     v = xp.trunc(xp.asarray(v))
-    # direct float->unsigned for full-width unsigned targets: routing
-    # through the signed carrier would clamp values >= 2^(w-1)
-    v = v.astype(ctx.acc_of(t) if t.is_int else ctx.int_dtype(signed=True))
+    if (t.is_int and t.kind == "uint"
+            and ctx.int_width == 32 and t.width >= 32):
+        # TPU path float->uint32: direct unsigned convert (XLA defines it),
+        # keeping values in [2^31, 2^32) exact — the signed int32 carrier
+        # would clamp them
+        v = v.astype(ctx.acc_of(t))
+    else:
+        # route through the SIGNED carrier then reinterpret: matches the
+        # C++ golden runner's defined (int64_t)trunc + two's-complement
+        # wrap (direct float->uint64 is platform-dependent in numpy/C)
+        v = v.astype(ctx.int_dtype(signed=True))
     return _mask_to(ctx, v, t)
 
 

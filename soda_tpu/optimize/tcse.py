@@ -44,11 +44,13 @@ shifted vector slices — identical dataflow to the reference's FIFO chains.
 
 Numerical note: the rewrite REASSOCIATES the sum.  Exact for integer
 types — integer programs only accept integer factor coefficients, and
-hoisted partial sums are stored at >= the accumulator width (int32, or
-int64 for >32-bit parents), so wraparound congruence makes the final
-masked store bit-exact.  For floats it perturbs results within normal fp
-tolerance (like the reference's tcse, which also reorders reductions).
-Off by default; enable with `sodac --tcse` or `apply(program)`.
+hoisted partial sums are stored at a width chosen from a STATIC VALUE
+BOUND (sum of |coefficients| x parent range): int32 when the true sum
+provably fits (so even value-dependent consumers like `/` see the exact
+value), int64 otherwise.  For floats it perturbs results within normal
+fp tolerance (like the reference's tcse, which also reorders
+reductions).  Off by default; enable with `sodac --tcse` or
+`apply(program)`.
 
 Known no-reuse case (by design, not a gap): conv5x5.soda's 25 FREE
 symbolic weights coef[i][j] admit no reuse — every tap's coefficient is an
@@ -275,7 +277,15 @@ def _poly_factors(p: list[Fraction]) -> list[list[Fraction]]:
 
     def divisors(n: int) -> list[int]:
         n = abs(n)
-        return [d for d in range(1, n + 1) if n % d == 0]
+        small, large = [], []
+        d = 1
+        while d * d <= n:  # O(sqrt n): weights can be ~1e9 fixed-point ints
+            if n % d == 0:
+                small.append(d)
+                if d != n // d:
+                    large.append(n // d)
+            d += 1
+        return small + large[::-1]
 
     seen: set[tuple] = set()
     for pn in divisors(a0):
@@ -562,6 +572,33 @@ def _parent_of(stage_name: str) -> str:
     return stage_name.rsplit("__cse", 1)[0]
 
 
+def _type_bound(t: ScalarType) -> int:
+    """Max |value| a declared integer type can hold."""
+    return (2 ** t.width - 1) if t.kind == "uint" else 2 ** (t.width - 1)
+
+
+def _bound_expr(e: ir.Expr, bounds: dict[str, int], params) -> int:
+    """Static max-|value| bound of a hoisted sum expression (Ref/Const/
+    ParamRef/Var combined with + - * only; anything else is unbounded)."""
+    if isinstance(e, ir.Const):
+        return abs(int(e.value)) if isinstance(e.value, int) else 1 << 200
+    if isinstance(e, ir.Ref):
+        return bounds.get(e.name, 1 << 200)
+    if isinstance(e, (ir.ParamRef, ir.Var)):
+        p = params.get(e.name)
+        return _type_bound(p.type) if p and p.type.is_int else 1 << 200
+    if isinstance(e, ir.UnOp) and e.op in ("-", "+"):
+        return _bound_expr(e.operand, bounds, params)
+    if isinstance(e, ir.BinOp):
+        a = _bound_expr(e.lhs, bounds, params)
+        b = _bound_expr(e.rhs, bounds, params)
+        if e.op in ("+", "-"):
+            return a + b
+        if e.op == "*":
+            return a * b
+    return 1 << 200
+
+
 # ---------------------------------------------------------------------------
 # Program-level driver
 # ---------------------------------------------------------------------------
@@ -576,6 +613,20 @@ def apply(program: StencilProgram, max_passes: int = 10) -> StencilProgram:
     stages)."""
     tensors = {n: Tensor(t.name, t.type, t.expr, t.dram, t.tile_size, t.is_output)
                for n, t in program.tensors.items()}
+    # static max-|value| bounds for hoisted-stage typing: inputs from
+    # declared widths; stages from their expressions when tighter (a
+    # uint32 stage holding a sum of uint16 taps is bounded by the
+    # coefficient sum, not by 2^32 — e.g. gaussian2d's gx), in topo order
+    bounds: dict[str, int] = {}
+    for n in program.input_names:
+        t = program.tensors[n]
+        if t.type.is_int:
+            bounds[n] = _type_bound(t.type)
+    for n in program.stage_order():
+        t = program.tensors[n]
+        if t.type.is_int:
+            bounds[n] = min(_type_bound(t.type),
+                            _bound_expr(t.expr, bounds, program.params))
     counter = [0]
 
     def fresh(base: str) -> str:
@@ -600,17 +651,26 @@ def apply(program: StencilProgram, max_passes: int = 10) -> StencilProgram:
             if new_stages:
                 changed = True
                 for sn, se in new_stages.items():
-                    # hoisted partial sums need a WIDE type: narrow int
-                    # stages would mask mid-sum (the original masks only at
-                    # the final store).  int parents <= 32 bits store at the
-                    # int32 accumulator width (the TPU compute width, and
-                    # wraparound-congruent for the int64 oracle since every
-                    # final store width divides 2^32); wider parents keep
-                    # the full 64-bit accumulator.  Floats keep their width.
+                    # hoisted partial sums need a NON-MASKING type: the
+                    # original masks only at the final store.  Pick the
+                    # store width from a STATIC VALUE BOUND (sum of
+                    # |coefficients| x parent bound): int32 when the true
+                    # sum provably fits (then the hoisted store never
+                    # wraps, and value-dependent consumers like `/` stay
+                    # exact); int64 otherwise — on such programs the TPU
+                    # Pallas path (int32 accumulators) could never compute
+                    # the unrewritten sum correctly either, and now rejects
+                    # loudly instead of wrapping.  Floats keep their width.
                     parent = next(iter(ir.get_load_names(se)))
                     pt = tensors[parent].type
-                    st = (pt if pt.is_float
-                          else ScalarType("int", 64 if pt.width > 32 else 32))
+                    if pt.is_float:
+                        st = pt
+                    else:
+                        b = _bound_expr(se, bounds, program.params)
+                        st = ScalarType(
+                            "int", 64 if (pt.width > 32 or b >= 2**31)
+                            else 32)
+                        bounds[sn] = b
                     tensors[sn] = Tensor(sn, st, se)
                 tensors[name] = Tensor(t.name, t.type, e2, t.dram,
                                        t.tile_size, t.is_output)

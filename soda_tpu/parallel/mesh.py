@@ -99,6 +99,14 @@ def build_sharded_fn(
     the halo-extended shard, then slices the center (overlapped tiling
     across devices — SODA's host tiling, but over ICI)."""
     it = max(program.iterate if iterate is None else iterate, 1)
+    from ..backend.xla import _needs_wide
+
+    if _needs_wide(program):
+        raise NotImplementedError(
+            f"program {program.name!r} uses >32-bit types: the sharded mesh "
+            "path computes in 32-bit carriers and would silently truncate; "
+            "use the single-chip XLA backend (64-bit wide mode) or the "
+            "oracles")
     axis_names = mesh.axis_names
     if dims is None:
         dims = tuple(range(len(axis_names)))
@@ -237,7 +245,13 @@ def build_sharded_fn(
 
     def local_chunk(arrays: dict, params: dict) -> dict:
         """nf fused sweeps on halo-extended shards; returns center shards."""
-        if overlap and halos:
+        shard = next(iter(arrays.values())).shape
+        # overlap's strip geometry needs the halo within one shard
+        # (slab = 2*lo+hi rows of the extended array); multi-hop halos
+        # take the synchronous path instead of crashing
+        overlap_ok = all(lo <= shard[d] and hi <= shard[d]
+                         for d, (lo, hi, _ax) in halos.items())
+        if overlap and halos and overlap_ok:
             return local_chunk_overlap(arrays, params)
         ext = {}
         for n, x in arrays.items():

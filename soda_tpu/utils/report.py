@@ -102,6 +102,23 @@ def analyze(plan: Plan, dtype_bytes: int = 4, program=None) -> CompileReport:
     )
 
 
+def xla_bytes_per_update(compiled, updates: int) -> float | None:
+    """Independent cross-check: XLA compiled cost-model bytes per cell
+    update for a whole jitted program (sum of the per-operand
+    'bytes accessed' entries).  Tight for single-operand plans; counts
+    whole buffers per aliased strips operand.  None when the backend has
+    no cost model."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        total = sum(v for k, v in ca.items()
+                    if k.startswith("bytes accessed"))
+        return total / float(updates)
+    except Exception:
+        return None
+
+
 def time_compile(fn, *args) -> tuple[Any, float]:
     """AOT-lower and compile a jitted fn, returning (compiled, seconds) —
     the 'compile wall-clock' metric (the reference's hours-long Vivado

@@ -216,3 +216,22 @@ def test_uint64_full_range_oracle_vs_cpp():
     assert gold[0, 0] == (2**64 - 7) >> 2
     got = cpp.compile_and_run(p, {"a": y})["out"]
     assert np.array_equal(gold, got)
+
+
+def test_float_to_unsigned_cast_defined():
+    """Review r2: float->uint64 casts route through int64 + two's-
+    complement wrap on the oracle AND the C++ runner (direct
+    float->unsigned of a negative is UB in C++), so they agree."""
+    from soda_tpu.backend import cpp
+
+    src = (
+        "kernel: c\n"
+        "input float: a(64, *)\n"
+        "output uint64: out(0,0) = uint64(a(0,0))\n"
+    )
+    p = parse(src)
+    x = np.array([[-1.5, 2.5, -100.0, 7.9]] * 4, np.float32)
+    gold = run(p, {"a": x})["out"]
+    got = cpp.compile_and_run(p, {"a": x})["out"]
+    assert gold[0, 0] == 2**64 - 1  # -1.5 truncates to -1, wraps
+    assert np.array_equal(gold, got)

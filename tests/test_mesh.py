@@ -229,3 +229,38 @@ def test_multihop_halo_exchange():
     got2 = run_sharded(p2, ins2, axis_sizes=[8], dims=[0], iterate=8,
                        sweeps_per_exchange=8)
     check(p2, got2, gold2, rim=p2.valid_rim(iterate=8))
+
+
+def test_mesh_rejects_wide_programs():
+    """Review r2: the sharded path computes in 32-bit carriers; >32-bit
+    programs must be rejected loudly, not silently truncated."""
+    from soda_tpu.frontend.parser import parse
+
+    p = parse("kernel: w\ninput int64: a(64, *)\n"
+              "output int64: out(0,0) = a(0,0) + a(0,1)\n")
+    with pytest.raises(NotImplementedError, match="wide mode"):
+        run_sharded(p, {"a": np.ones((8, 128), np.int64)}, axis_sizes=[4])
+
+
+def test_overlap_multihop_falls_back():
+    """Review r2: overlap mode with a halo wider than one shard must fall
+    back to the synchronous path (the strip geometry can't host it)."""
+    p = parse_file(SODA / "jacobi2d.soda")
+    x = rng.standard_normal((32, 128)).astype(np.float32)
+    ins = {p.input_names[0]: x}
+    gold = numpy_interp.run(p, ins, iterate=8)
+    got = run_sharded(p, ins, axis_sizes=[8], dims=[0], iterate=8,
+                      sweeps_per_exchange=8, overlap=True)
+    check(p, got, gold, rim=p.valid_rim(iterate=8))
+
+
+def test_sharded_aux_input_unaligned_grid():
+    """Review r2: aux-input iterate + aligned-core rim on the pallas local
+    backend (the _eval_group_slab multi-sweep path must carry aux)."""
+    p = parse_file(SODA / "denoise2p.soda")
+    u = rng.standard_normal((100, 128)).astype(np.float32)
+    f = rng.standard_normal((100, 128)).astype(np.float32)
+    gold = numpy_interp.run(p, {"u": u, "f": f})
+    got = run_sharded(p, {"u": u, "f": f}, axis_sizes=[2], dims=[1],
+                      local_backend="pallas", interpret=True)
+    check(p, got, gold)

@@ -221,3 +221,46 @@ def test_float_weighted_sum_close():
     rim = q.valid_rim()
     sl = (slice(rim, -rim), slice(rim, -rim)) if rim else (slice(None),) * 2
     assert np.allclose(a[sl], b[sl], rtol=1e-5, atol=1e-6)
+
+
+def test_hoisted_width_from_value_bound():
+    """Review r2: hoisted partial sums feeding value-dependent ops must not
+    mask — the store width comes from a static value bound.  int32 taps
+    near 2^31 widen the hoist to int64 (exact division); uint16 chains
+    (provably < 2^31) keep int32 so the TPU Pallas path still runs them."""
+    src = (
+        "kernel: g\n"
+        "input int32: a(64, *)\n"
+        "output int32: out(0,0) = (a(0,-2) + 4*a(0,-1) + 6*a(0,0)"
+        " + 4*a(0,1) + a(0,2)) / 16\n"
+    )
+    p = parse(src)
+    q = tcse.apply(p)
+    assert any(q.tensors[n].type.width == 64
+               for n in q.tensors if "__cse" in n)
+    x = np.full((8, 64), 2**28, np.int32)
+    a = numpy_interp.run(p, {"a": x})["out"]
+    b = numpy_interp.run(q, {"a": x})["out"]
+    r = max(p.valid_rim(), q.valid_rim())
+    assert np.array_equal(a[:, r:-r], b[:, r:-r])
+    # the declared-uint32 gx stage is BOUNDED by its expression, so
+    # gaussian2d's hoists stay int32 (TPU-runnable)
+    q2 = tcse.apply(parse_file(SODA / "gaussian2d.soda"))
+    assert all(q2.tensors[n].type.width == 32
+               for n in q2.tensors if "__cse" in n)
+
+
+def test_big_weights_fast():
+    """Review r2: divisor enumeration is O(sqrt n) — billion-scale weights
+    must not hang."""
+    import time
+
+    src = (
+        "kernel: b\n"
+        "input int32: a(64, *)\n"
+        "output int32: out(0,0) = 1000000007*a(0,-1) + 3*a(0,0)"
+        " + 1000000007*a(0,1)\n"
+    )
+    t0 = time.perf_counter()
+    tcse.apply(parse(src))
+    assert time.perf_counter() - t0 < 5.0
