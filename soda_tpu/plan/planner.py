@@ -517,11 +517,26 @@ def _plan_group(
                 out_io = sum(io_bytes(o) for o in outputs)
                 slab_bytes = (bz + rz_lo + rz_hi) * plane_c
                 carry_bytes = (bz + rz_lo) * wy * X * in_io
+                # intermediates: slab-sized temporaries.  Calibrated on
+                # v5e: SINGLE-stage groups need ~2 slabs (jacobi3d
+                # (8,512,1024) = 125 MiB by this model compiles and runs;
+                # (8,1024,1024) = 244 MiB fails), while MULTI-stage groups
+                # need the conservative n_in+members+1 (denoise3d
+                # (8,512,512) modeled at 116 MiB with members+1 fails)
+                n_tmp = (len(members) + 1 if len(members) == 1
+                         else len(ext_inputs) + len(members) + 1)
                 vmem = (2 * bz * wy * X * in_io
                         + 2 * bz * by * X * out_io
                         + carry_bytes
-                        + slab_bytes * (len(ext_inputs) + len(members) + 1))
-                if vmem > vmem_budget:
+                        + slab_bytes * n_tmp)
+                # linebuffer-specific headroom: the probes above bound the
+                # real feasibility at ~126 MiB of modeled bytes on the
+                # 128-MiB-VMEM v5e, above the general-purpose default
+                # budget (which stays conservative for windows/strips).
+                # Scale proportionally so explicit small budgets (tests
+                # forcing splits) are still respected.
+                lb_budget = min(vmem_budget * 126 // 96, 126 * 2**20)
+                if vmem > lb_budget:
                     continue
                 reads = Gy * (G + 1) * bz * wy * X * in_io
                 writes = Z * Y * X * out_io

@@ -67,7 +67,11 @@ def test_vmem_budget_respected():
     p = parse_file(SODA / "jacobi3d.soda")
     for budget in (2 * 2**20, 8 * 2**20, 16 * 2**20):
         pl = plan(p, (256, 256, 256), vmem_budget=budget)
-        assert pl.groups[0].vmem_bytes <= budget
+        # the linebuffer strategy gets hardware-calibrated headroom of
+        # 126/96 over the general budget (see planner lb_budget comment);
+        # other strategies stay within the budget exactly
+        scale = (126 / 96 if pl.groups[0].strategy == "linebuffer" else 1.0)
+        assert pl.groups[0].vmem_bytes <= budget * scale
 
 
 def test_sweep_chunking_on_halo_blowup():
