@@ -451,6 +451,90 @@ def _search(taps: list[tuple[tuple[int, ...], Coeff]], is_int: bool
 
 
 # ---------------------------------------------------------------------------
+# min/max reduction-tree reuse (DAC'20 also covers idempotent reductions,
+# e.g. max-pooling): ⋃_k (G + k·d) must EQUAL the tap set, but overlap is
+# allowed — min/max are idempotent, so overlapping covers admit more
+# decompositions than sums (e.g. a 5-tap 1-D min = min of two 3-tap mins).
+# ---------------------------------------------------------------------------
+
+
+def _flatten_minmax(e: ir.Expr) -> tuple[str | None, list[ir.Expr]]:
+    """Flatten nested same-fn min/max calls into ('min'|'max', leaves)."""
+    if not (isinstance(e, ir.Call) and e.fn in ("min", "max")):
+        return None, []
+    fn = e.fn
+    out: list[ir.Expr] = []
+
+    def rec(n: ir.Expr) -> None:
+        if isinstance(n, ir.Call) and n.fn == fn:
+            for a in n.args:
+                rec(a)
+        else:
+            out.append(n)
+
+    rec(e)
+    return fn, out
+
+
+def _search_cover(offsets: list[tuple[int, ...]]
+                  ) -> tuple[list, tuple[int, ...], int, int] | None:
+    """Best (G, d, m, saved) with ⋃_k (G + k·d) == set(offsets)."""
+    oset = set(offsets)
+    n = len(offsets)
+    if n < 3:
+        return None
+    dirs: list[tuple[int, ...]] = []
+    seen_d: set[tuple[int, ...]] = set()
+    for a in offsets:
+        for b in offsets:
+            if a == b:
+                continue
+            d = _primitive(tuple(x - y for x, y in zip(a, b)))
+            if d is not None and d not in seen_d:
+                seen_d.add(d)
+                dirs.append(d)
+    best = None
+    for d in dirs:
+        for m in range(2, n + 1):
+            gfull = [g for g in oset
+                     if all(tuple(x + k * y for x, y in zip(g, d)) in oset
+                            for k in range(m))]
+            if not gfull:
+                break  # larger m only shrinks gfull
+            gset = set(gfull)
+
+            def covered(gs) -> bool:
+                return all(any(tuple(x - k * y for x, y in zip(o, d)) in gs
+                               for k in range(m)) for o in oset)
+
+            if not covered(gset):
+                continue
+            # greedy prune: drop generators that stay covered without them
+            for g in sorted(gfull):
+                if len(gset) > 1 and covered(gset - {g}):
+                    gset.remove(g)
+            cost = (len(gset) - 1) + (m - 1)
+            saved = (n - 1) - cost
+            if saved > 0 and (best is None or saved > best[3]):
+                best = (sorted(gset), d, m, saved)
+    return best
+
+
+def _build_fntree(fn: str, terms: list[ir.Expr]) -> ir.Expr:
+    out = terms[0]
+    for t in terms[1:]:
+        out = ir.Call(fn, (out, t))
+    return out
+
+
+def _is_minmax_tree(e: ir.Expr) -> bool:
+    """True for pure min/max trees over Refs (hoisted-stage typing: the
+    value range equals the parent's, so the stage keeps the parent type)."""
+    fn, leaves = _flatten_minmax(e)
+    return fn is not None and all(isinstance(x, ir.Ref) for x in leaves)
+
+
+# ---------------------------------------------------------------------------
 # Expression rewriting
 # ---------------------------------------------------------------------------
 
@@ -462,10 +546,42 @@ def _rewrite_expr(e: ir.Expr, fresh, new_stages: dict[str, ir.Expr],
     themselves sum nodes; rewriting the MAXIMAL chain first finds the full
     decomposition instead of a partial one."""
 
+    def try_minmax(n: ir.Expr) -> ir.Expr | None:
+        fn, leaves = _flatten_minmax(n)
+        if fn is None or len(leaves) < 3:
+            return None
+        name = None
+        offs: list[tuple[int, ...]] = []
+        for x in leaves:
+            if not isinstance(x, ir.Ref):
+                return None
+            if name is None:
+                name = x.name
+            elif x.name != name:
+                return None
+            offs.append(x.offsets)
+        if name is None or len(set(offs)) != len(offs):
+            return None
+        cover = _search_cover(offs)
+        if cover is None:
+            return None
+        gens, d, m, _saved = cover
+        rank = len(gens[0])
+        lo = [min(g[i] for g in gens) for i in range(rank)]
+        hi = [max(g[i] for g in gens) for i in range(rank)]
+        t = tuple((a + b) // 2 for a, b in zip(lo, hi))
+        t_name = fresh(name)
+        new_stages[t_name] = _build_fntree(
+            fn, [ir.Ref(name, tuple(g[i] - t[i] for i in range(rank)))
+                 for g in gens])
+        return _build_fntree(
+            fn, [ir.Ref(t_name, tuple(k * d[i] + t[i] for i in range(rank)))
+                 for k in range(m)])
+
     def try_chain(n: ir.Expr) -> ir.Expr | None:
         flat = _flatten_sum(n)
         if flat is None:
-            return None
+            return try_minmax(n)
         # partition terms into weighted taps per tensor + opaque rest
         groups: dict[str, list[tuple[tuple[int, ...], Coeff]]] = {}
         rest: list[tuple[ir.Expr, bool]] = []
@@ -663,8 +779,13 @@ def apply(program: StencilProgram, max_passes: int = 10) -> StencilProgram:
                     # loudly instead of wrapping.  Floats keep their width.
                     parent = next(iter(ir.get_load_names(se)))
                     pt = tensors[parent].type
-                    if pt.is_float:
+                    if pt.is_float or _is_minmax_tree(se):
+                        # min/max trees never leave the parent's value
+                        # range: the stage keeps the parent type exactly
                         st = pt
+                        if pt.is_int:
+                            bounds[sn] = bounds.get(
+                                parent, _type_bound(pt))
                     else:
                         b = _bound_expr(se, bounds, program.params)
                         st = ScalarType(
@@ -712,6 +833,19 @@ def count_muls(program: StencilProgram) -> int:
     return n
 
 
+def count_minmax(program: StencilProgram) -> int:
+    """Total min/max reduction ops (k-ary call = k-1 ops)."""
+    n = 0
+    for t in program.tensors.values():
+        if t.expr is None:
+            continue
+        for node in ir.walk(t.expr):
+            if isinstance(node, ir.Call) and node.fn in ("min", "max"):
+                n += len(node.args) - 1
+    return n
+
+
 def count_ops(program: StencilProgram) -> int:
-    """Adds + multiplies — the op-count metric the DAC'20 paper optimizes."""
-    return count_adds(program) + count_muls(program)
+    """Adds + multiplies + min/max reductions — the op-count metric the
+    DAC'20 paper optimizes."""
+    return count_adds(program) + count_muls(program) + count_minmax(program)

@@ -264,3 +264,42 @@ def test_big_weights_fast():
     t0 = time.perf_counter()
     tcse.apply(parse(src))
     assert time.perf_counter() - t0 < 5.0
+
+
+def test_minmax_reduction_reuse():
+    """Round 2: DAC'20 idempotent-reduction reuse — min/max trees factor
+    via OVERLAPPING covers (legal because min/max are idempotent)."""
+    # 3x3 max (dilate): separable row/col max, 8 -> 4 ops
+    p = parse_file(SODA / "dilate2d.soda")
+    q = tcse.apply(p)
+    assert tcse.count_ops(p) == 8 and tcse.count_ops(q) == 4
+    h = [n for n in q.tensors if "__cse" in n]
+    assert h and all(q.tensors[n].type == p.tensors["d_in"].type for n in h)
+    x = rng.integers(0, 255, (40, 64)).astype(np.uint8)
+    a = numpy_interp.run(p, {"d_in": x})["d_out"]
+    b = numpy_interp.run(q, {"d_in": x})["d_out"]
+    r = max(p.valid_rim(), q.valid_rim())
+    assert np.array_equal(a[r:-r, r:-r], b[r:-r, r:-r])
+
+    # 5-tap 1-D min: OVERLAPPING cover (two 3-tap mins), 4 -> 3 ops
+    p5 = parse(
+        "kernel: m5\ninput uint16: a(64, *)\n"
+        "output uint16: out(0,0) = min(min(min(a(0,-2), a(0,-1)),"
+        " min(a(0,0), a(0,1))), a(0,2))\n")
+    q5 = tcse.apply(p5)
+    assert tcse.count_ops(q5) == 3
+    y = rng.integers(0, 60000, (8, 64)).astype(np.uint16)
+    a5 = numpy_interp.run(p5, {"a": y})["out"]
+    b5 = numpy_interp.run(q5, {"a": y})["out"]
+    r5 = max(p5.valid_rim(), q5.valid_rim())
+    assert np.array_equal(a5[:, r5:-r5], b5[:, r5:-r5])
+
+    # plus-shaped erode: the 4 outer taps pair along the diagonal (4 -> 3)
+    pe = parse_file(SODA / "erode2d.soda")
+    qe = tcse.apply(pe)
+    assert tcse.count_ops(pe) == 4 and tcse.count_ops(qe) == 3
+    z = rng.integers(0, 255, (24, 48)).astype(np.uint8)
+    ae = numpy_interp.run(pe, {"e_in": z})["e_out"]
+    be = numpy_interp.run(qe, {"e_in": z})["e_out"]
+    re_ = max(pe.valid_rim(), qe.valid_rim())
+    assert np.array_equal(ae[re_:-re_, re_:-re_], be[re_:-re_, re_:-re_])
