@@ -269,3 +269,46 @@ def test_fuzz_weighted_tcse_bit_exact(seed):
     rim = max(p.valid_rim(), q.valid_rim())
     assert np.array_equal(interior(a, rim), interior(b, rim)), \
         f"weighted tcse mismatch:\n{src}"
+
+
+def gen_minmax_program(rng: random.Random) -> str:
+    """Random min/max reduction trees over one tensor (idempotent-reuse
+    surface): random tap sets, sometimes rectangular (separable)."""
+    fn = rng.choice(["min", "max"])
+    taps = set()
+    if rng.random() < 0.5:
+        for i in range(rng.randint(2, 3)):
+            for j in range(rng.randint(2, 4)):
+                taps.add((i - 1, j - 1))
+    else:
+        while len(taps) < rng.randint(3, 9):
+            taps.add((rng.randint(-2, 2), rng.randint(-2, 2)))
+    leaves = [f"a({i}, {j})" for i, j in sorted(taps)]
+    expr = leaves[0]
+    for leaf in leaves[1:]:
+        expr = f"{fn}({expr}, {leaf})"
+    return (f"kernel: mm\ninput uint16: a(64, *)\n"
+            f"output uint16: out(0, 0) = {expr}\n")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_minmax_tcse_bit_exact(seed):
+    """min/max reuse on random reduction trees: bit-exact, never an
+    op-count regression, and still exact through the Pallas backend."""
+    from soda_tpu.optimize import tcse
+
+    rng = random.Random(8000 + seed)
+    src = gen_minmax_program(rng)
+    p = parse(src)
+    q = tcse.apply(p)
+    assert tcse.count_ops(q) <= tcse.count_ops(p), f"op regression:\n{src}"
+    x = np.random.default_rng(seed).integers(
+        0, 60000, (32, 48)).astype(np.uint16)
+    a = numpy_interp.run(p, {"a": x})["out"]
+    b = numpy_interp.run(q, {"a": x})["out"]
+    rim = max(p.valid_rim(), q.valid_rim())
+    assert np.array_equal(interior(a, rim), interior(b, rim)), \
+        f"minmax tcse mismatch:\n{src}"
+    got = pallas_backend.run(q, {"a": x}, interpret=True)["out"]
+    assert np.array_equal(interior(a, rim), interior(got, rim)), \
+        f"minmax pallas mismatch:\n{src}"
