@@ -40,7 +40,8 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
     carry/lookahead row counts are sublane-quantum multiples, so every
     sublane concat/slice is tile-aligned (round 1's unaligned variant hung
     Mosaic)."""
-    from .pallas import _eval_group, _group_params, _io_dtype, _read_params
+    from .pallas import (_eval_group, _group_params, _io_dtype,
+                         _param_ops, _read_params)
 
     bh, W = g.block
     H, _ = grid_shape
@@ -133,13 +134,7 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
         ops = []
         for n in g.external_inputs:
             ops.append(jnp.asarray(values[n], _io_dtype(program, n)))
-        for name in param_names:
-            p = jnp.asarray(params[name])
-            t = program.params[name].type
-            p = p.astype(jnp.float32 if t.is_float else jnp.int32)
-            if p.ndim < 2:
-                p = p.reshape((1,) * (2 - p.ndim) + p.shape)
-            ops.append(p)
+        ops.extend(_param_ops(program, param_names, params))
         outs = call(*ops)
         if len(g.outputs) == 1:
             outs = (outs,)
@@ -151,7 +146,8 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
 def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
                               grid_shape: tuple[int, ...],
                               interpret: bool = False):
-    from .pallas import _group_params, _io_dtype, _read_params, _shift_all
+    from .pallas import (_group_params, _io_dtype, _param_ops,
+                         _read_params, _shift_all)
 
     rank = program.rank
     if rank == 2:
@@ -298,13 +294,7 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
         for n in g.external_inputs:
             x = jnp.asarray(values[n], _io_dtype(program, n))
             ops.extend([x] * npieces)
-        for name in param_names:
-            p = jnp.asarray(params[name])
-            t = program.params[name].type
-            p = p.astype(jnp.float32 if t.is_float else jnp.int32)
-            if p.ndim < 2:
-                p = p.reshape((1,) * (2 - p.ndim) + p.shape)
-            ops.append(p)
+        ops.extend(_param_ops(program, param_names, params))
         outs = call(*ops)
         if len(g.outputs) == 1:
             outs = (outs,)

@@ -68,7 +68,10 @@ class _Gen:
 
     def ctype(self, t: ScalarType) -> str:
         if t.is_float:
-            return "double" if t.width == 64 else "float"
+            # _Float16 arithmetic rounds per-op exactly like numpy float16
+            # (both compute via f32 and round back), keeping the oracle
+            # chain bit-exact for `half` programs
+            return {16: "_Float16", 64: "double"}.get(t.width, "float")
         # full-width unsigned rides an unsigned carrier so value-dependent
         # ops (/ % < >>) see true values (matches evaluator.acc_of)
         return "uint64_t" if t.kind == "uint" and t.width >= 64 else "int64_t"
@@ -171,6 +174,11 @@ class _Gen:
                 return f"c_mod({ac}, {bc})", t
             if op == "%":
                 return f"std::fmod({ac}, {bc})", t
+            if t.is_float and t.width == 16:
+                # force per-op rounding: GCC evaluates chained _Float16
+                # arithmetic with f32 excess precision, but numpy float16
+                # rounds after EVERY op — the explicit cast restores that
+                return f"(_Float16)(({ac}) {op} ({bc}))", t
             return f"(({ac}) {op} ({bc}))", t
         if isinstance(e, ir.Call):
             args = [self.emit(a) for a in e.args]

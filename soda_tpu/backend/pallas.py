@@ -93,6 +93,19 @@ def _group_params(program: StencilProgram, g: GroupPlan) -> list[str]:
     return list(used)
 
 
+def _param_ops(program: StencilProgram, param_names, params) -> list:
+    """Params as pallas operands: compute dtypes, >= 2-D shapes."""
+    ops = []
+    for name in param_names:
+        p = jnp.asarray(params[name])
+        t = program.params[name].type
+        p = p.astype(jnp.float32 if t.is_float else jnp.int32)
+        if p.ndim < 2:
+            p = p.reshape((1,) * (2 - p.ndim) + p.shape)
+        ops.append(p)
+    return ops
+
+
 def _read_params(program: StencilProgram, param_names, par_refs) -> dict:
     params = {}
     for name, ref in zip(param_names, par_refs):
@@ -444,13 +457,7 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
         for name in g.external_inputs:
             x = jnp.asarray(values[name], _io_dtype(program, name))
             ops.extend([x] * len(kinds_for(name)))
-        for name in param_names:
-            p = jnp.asarray(params[name])
-            t = program.params[name].type
-            p = p.astype(jnp.float32 if t.is_float else jnp.int32)
-            if p.ndim < 2:
-                p = p.reshape((1,) * (2 - p.ndim) + p.shape)
-            ops.append(p)
+        ops.extend(_param_ops(program, param_names, params))
         outs = call(*ops)
         if len(g.outputs) == 1:
             outs = (outs,)
@@ -622,14 +629,7 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
         for name in g.external_inputs:
             x = jnp.asarray(values[name], _io_dtype(program, name))
             ops.append(_pad_input(x, g.halo[name], block, g.grid, grid_shape, rank))
-        for name in group_param_names:
-            p = jnp.asarray(params[name])
-            t = program.params[name].type
-            p = p.astype(jnp.float32 if t.is_float else jnp.int32)
-            shp = p.shape
-            if p.ndim < 2:
-                p = p.reshape((1,) * (2 - p.ndim) + shp)
-            ops.append(p)
+        ops.extend(_param_ops(program, group_param_names, params))
         outs = call(*ops)
         if len(g.outputs) == 1:
             outs = (outs,)
@@ -742,6 +742,12 @@ def check_tpu_supported(program: StencilProgram) -> None:
                 f"supported on the Pallas path (Mosaic is 32-bit); use "
                 f"--backend xla (64-bit wide mode, exact s64 on TPU) or "
                 f"the NumPy/C++ oracle backends")
+    for p in program.params.values():
+        if p.type.is_int and p.type.width > 32:
+            raise NotImplementedError(
+                f"param {p.name!r} is {p.type}: integer widths > 32 are "
+                f"not supported on the Pallas path; use --backend xla or "
+                f"the oracles")
 
 
 def finalize_outputs(program: StencilProgram, outs) -> dict:

@@ -311,8 +311,10 @@ def main(argv=None) -> int:
             outs = run_sharded(program, ins, ps, axis_sizes=args.mesh)
         elif args.backend == "pallas":
             from ..backend import pallas as pb
+            # --interpret forces the interpreter; otherwise let the backend
+            # auto-detect (off-TPU hosts interpret, TPU compiles)
             outs = pb.run(program, ins, ps, the_plan=the_plan,
-                          interpret=args.interpret)
+                          interpret=True if args.interpret else "auto")
         elif args.backend == "xla":
             from ..backend import xla as xb
             outs = xb.run(program, ins, ps)
@@ -360,7 +362,8 @@ def main(argv=None) -> int:
             if args.backend == "pallas":
                 from ..backend import pallas as pb
                 fn = jax.jit(pb.build_fn(
-                    program, the_plan=the_plan, interpret=args.interpret))
+                    program, the_plan=the_plan,
+                    interpret=True if args.interpret else "auto"))
             else:
                 from ..backend import xla as xb
                 fn = jax.jit(xb.build_fn(program))
@@ -375,7 +378,10 @@ def main(argv=None) -> int:
                 out = compiled(jins, jps)
             jax.block_until_ready(out)
             dt = (time.perf_counter() - t0) / reps
-            updates = math_prod(grid_shape) * max(program.iterate, 1)
+            # each sweep of an unroll_iterate'd program performs
+            # updates_per_cell cell-updates (ADVICE-class fix)
+            updates = (math_prod(grid_shape) * max(program.iterate, 1)
+                       * updates_per_cell)
             rep = analyze(the_plan, program=program)
             print(f"benchmark ({args.backend}): {dt*1e3:.3f} ms/call  "
                   f"{updates/dt/1e9:.2f} GCell-updates/s (wall-clock; "

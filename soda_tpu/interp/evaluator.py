@@ -230,10 +230,12 @@ def eval_expr(e: ir.Expr, ctx: EvalContext) -> tuple[Any, ScalarType]:
             return _c_div(xp, a, b), t
         if op == "%":
             if t.is_float:
-                # C fmod: truncated division, sign of the dividend
-                # (xp.mod is floor modulo — sign of divisor — and would
-                # disagree with the C++ golden runner)
-                return a - xp.trunc(a / b) * b, t
+                # C fmod: exact remainder, sign of the dividend.  xp.fmod
+                # matches std::fmod bit-for-bit in numpy AND jnp (verified
+                # incl. the large-quotient case 1e8 % 0.3f where the naive
+                # a - trunc(a/b)*b formula loses everything to rounding);
+                # xp.mod would be floor modulo (sign of divisor) — wrong.
+                return xp.fmod(a, b), t
             return _c_mod(xp, a, b), t
         if op in ("&", "|", "^"):
             v = {"&": xp.bitwise_and, "|": xp.bitwise_or, "^": xp.bitwise_xor}[op](a, b)

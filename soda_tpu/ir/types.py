@@ -136,8 +136,12 @@ class ScalarType:
     # ---- C++ mapping (golden runner) --------------------------------------
 
     def cpp_type(self) -> str:
+        """STORAGE type in generated C++ (compute carriers are chosen by
+        the printer).  half -> _Float16 (GCC >= 12; bit-identical to
+        np.float16, so 2-byte I/O buffers match the Python side and every
+        store rounds through f16 exactly like the oracle)."""
         if self.kind == "float":
-            return {16: "float", 32: "float", 64: "double"}[self.width]
+            return {16: "_Float16", 32: "float", 64: "double"}[self.width]
         return ("uint" if self.kind == "uint" else "int") + f"{self.storage_width}_t"
 
     def __str__(self) -> str:

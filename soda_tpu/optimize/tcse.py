@@ -105,7 +105,14 @@ class Coeff:
         return Coeff(-self.num, self.syms)
 
     def to_expr(self, operand: ir.Expr, is_int: bool) -> ir.Expr:
-        """Build coeff * operand (coeff == 1 collapses to operand)."""
+        """Build coeff * operand (coeff == 1 collapses to operand).
+
+        A fractional constant on an integer tensor is legal DSL (the
+        product promotes to float) and occurs when rebuilding UNTOUCHED
+        taps of a partially-rewritten sum — emit the float const exactly
+        as the original expression had it.  Decomposed groups never get
+        here with fractions: _search enforces integer factor coefficients
+        for integer tensors."""
         e = operand
         for s in self.syms:
             e = ir.BinOp("*", e, s)
@@ -116,8 +123,6 @@ class Coeff:
             return ir.UnOp("-", e)
         if n.denominator == 1:
             return ir.BinOp("*", ir.Const(int(n)), e)
-        if is_int:
-            raise AssertionError("non-integer coeff on integer program")
         return ir.BinOp("*", ir.Const(float(n)), e)
 
     @property
@@ -301,7 +306,10 @@ def _poly_factors(p: list[Fraction]) -> list[list[Fraction]]:
                 if not r:
                     out.append(cand)
     if deg >= 4:
-        bound = max(abs(int(c)) for c in p) + 1
+        # the quadratic-factor search exists for small-coefficient kernels
+        # (triangle (1,2,3,2,1) etc.); cap the middle coefficient so big
+        # fixed-point weights don't turn this into an O(|coeff|) scan
+        bound = min(max(abs(int(c)) for c in p) + 1, 64)
         for b0 in divisors(a0):
             for b2 in divisors(an):
                 for s0 in (1, -1):

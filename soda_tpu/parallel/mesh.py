@@ -328,6 +328,9 @@ def run_sharded(
     """Convenience wrapper: shard inputs over a mesh, run, gather numpy."""
     import numpy as np
 
+    from ..backend.pallas import _check_io
+
+    _check_io(program, inputs, params or {})
     if mesh is None:
         mesh = make_mesh(axis_sizes or [len(jax.devices())])
     grid_shape = tuple(np.asarray(next(iter(inputs.values()))).shape)

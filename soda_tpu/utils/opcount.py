@@ -35,7 +35,12 @@ def expr_ops(e: ir.Expr) -> float:
         elif isinstance(n, ir.Select):
             ops += 1
         elif isinstance(n, ir.Call):
-            ops += TRANSCENDENTAL_WEIGHT if n.fn in _TRANSCENDENTALS else 1
+            if n.fn in _TRANSCENDENTALS:
+                ops += TRANSCENDENTAL_WEIGHT
+            else:
+                # k-ary reductions (min/max/...) cost k-1 ops — consistent
+                # with tcse.count_minmax
+                ops += max(len(n.args) - 1, 1)
         elif isinstance(n, ir.Cast):
             ops += 1
     return ops

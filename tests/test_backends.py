@@ -376,3 +376,19 @@ def test_pallas_rejects_wide_with_pointer_to_xla():
     p = parse(src)
     with pytest.raises(NotImplementedError, match="backend xla"):
         pb.check_tpu_supported(p)
+
+
+def test_pallas_rejects_wide_params():
+    """Review r2: >32-bit PARAMS are rejected loudly on the Pallas path
+    (they would be silently truncated to int32)."""
+    from soda_tpu.backend import pallas as pb
+
+    src = (
+        "kernel: wp\n"
+        "param uint64: k\n"
+        "input uint16: a(64, *)\n"
+        "output uint32: out(0, 0) = a(0, 0) + k\n"
+    )
+    p = parse(src)
+    with pytest.raises(NotImplementedError, match="param"):
+        pb.check_tpu_supported(p)

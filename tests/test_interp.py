@@ -235,3 +235,46 @@ def test_float_to_unsigned_cast_defined():
     got = cpp.compile_and_run(p, {"a": x})["out"]
     assert gold[0, 0] == 2**64 - 1  # -1.5 truncates to -1, wraps
     assert np.array_equal(gold, got)
+
+
+def test_half_cpp_oracle_bit_exact():
+    """Review r2: `half` programs through the C++ runner — _Float16
+    storage (2-byte I/O matching np.float16) with per-op rounding casts
+    (GCC's excess precision would otherwise diverge from numpy)."""
+    from soda_tpu.backend import cpp
+
+    src = (
+        "kernel: h\ninput half: a(16, *)\n"
+        "local half: s(0,0) = (a(0,-1) + a(0,0) + a(0,1)) / 3.0f\n"
+        "output half: b(0,0) = s(-1,0) * s(1,0) + a(0,0)\n"
+    )
+    p = parse(src)
+    x = rng.standard_normal((16, 32)).astype(np.float16)
+    gold = run(p, {"a": x})["b"]
+    r = p.valid_rim()
+    sl = (slice(r, -r), slice(r, -r))
+    for got in (cpp.compile_and_run(p, {"a": x})["b"],
+                cpp.NativeOracle(p, (16, 32)).run({"a": x})["b"]):
+        assert got.dtype == np.float16
+        assert np.array_equal(gold[sl].view(np.uint16),
+                              got[sl].view(np.uint16))
+
+
+def test_float_mod_matches_cpp_fmod():
+    """Review r2: float % is xp.fmod (exact remainder) — the naive
+    a - trunc(a/b)*b loses everything at large quotients."""
+    from soda_tpu.backend import cpp, xla as xb
+
+    src = (
+        "kernel: fm\ninput float: a(16, *)\n"
+        "output float: out(0,0) = a(0,0) % 0.3f\n"
+    )
+    p = parse(src)
+    x = np.array([[1e8, -7.5, 2.5, 1e6]] * 4, np.float32)
+    gold = run(p, {"a": x})["out"]
+    assert abs(gold[0, 0] - np.fmod(np.float32(1e8), np.float32(0.3))) == 0
+    assert gold[0, 1] == np.fmod(np.float32(-7.5), np.float32(0.3))
+    got_c = cpp.compile_and_run(p, {"a": x})["out"]
+    assert np.array_equal(gold, got_c)
+    got_x = xb.run(p, {"a": x})["out"]
+    assert np.array_equal(gold, got_x)

@@ -303,3 +303,25 @@ def test_minmax_reduction_reuse():
     be = numpy_interp.run(qe, {"e_in": z})["e_out"]
     re_ = max(pe.valid_rim(), qe.valid_rim())
     assert np.array_equal(ae[re_:-re_, re_:-re_], be[re_:-re_, re_:-re_])
+
+
+def test_mixed_fractional_weight_untouched_group():
+    """Review r2: a fractional-const tap on an int tensor alongside a
+    rewritable group must rebuild, not crash (the fraction is legal DSL —
+    it promotes to float)."""
+    src = (
+        "kernel: mx\n"
+        "input uint8: a(64, *)\ninput uint8: b(64, *)\n"
+        "output float: o(0,0) = 0.5 * a(0,0) + b(0,-1) + b(0,0)"
+        " + b(0,1) + b(0,2)\n"
+    )
+    p = parse(src)
+    q = tcse.apply(p)  # must not raise
+    assert tcse.count_ops(q) <= tcse.count_ops(p)
+    x = rng.integers(0, 255, (8, 64)).astype(np.uint8)
+    y = rng.integers(0, 255, (8, 64)).astype(np.uint8)
+    a = numpy_interp.run(p, {"a": x, "b": y})["o"]
+    b2 = numpy_interp.run(q, {"a": x, "b": y})["o"]
+    r = max(p.valid_rim(), q.valid_rim())
+    sl = (slice(None), slice(r, -r)) if r else (slice(None),) * 2
+    assert np.allclose(a[sl], b2[sl], rtol=1e-6, atol=1e-6)
