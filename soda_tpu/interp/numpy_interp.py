@@ -19,7 +19,6 @@ from typing import Mapping
 
 import numpy as np
 
-from ..ir import expr as ir
 from ..ir.program import StencilProgram
 from .evaluator import EvalContext, eval_expr, store_cast
 
