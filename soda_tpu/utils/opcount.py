@@ -26,8 +26,16 @@ V5E_VPU_TOPS = 3.85
 
 
 def expr_ops(e: ir.Expr) -> float:
+    """Weighted op count over DISTINCT subexpressions: XLA CSEs repeated
+    subtrees (e.g. heat3d's center tap appearing in all three directional
+    terms), so counting every occurrence would overstate the VPU bound.
+    IR nodes are frozen dataclasses — structural equality dedups exactly."""
     ops = 0.0
+    seen: set = set()
     for n in ir.walk(e):
+        if n in seen:
+            continue
+        seen.add(n)
         if isinstance(n, ir.BinOp):
             ops += 1
         elif isinstance(n, ir.UnOp):
