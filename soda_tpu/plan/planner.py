@@ -346,6 +346,12 @@ def _plan_group(
         vmem = 2 * (win_bytes + out_bytes) + inter
         if strips:
             vmem += win_bytes  # assembled window copy lives alongside pieces
+        if nf > 1:
+            # fused-sweep working set: the (trapezoid or fori) sweep chain
+            # keeps ~2 extra window-sized values live (calibrated on v5e:
+            # heat3d it=4 strips (64,256,256) modeled 95.8 MiB WITHOUT this
+            # term fails VMEM allocation; (32,256,256) at 54 MiB runs)
+            vmem += 2 * win_bytes
         nblocks = math.prod(grid)
         reads = win_bytes * nblocks
         writes = out_bytes * nblocks
