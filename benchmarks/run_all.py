@@ -28,6 +28,7 @@ CONFIGS = [
     ("jacobi2d", (2048, 2048), None),          # iterate 8 from the DSL
     ("seidel2d", (2048, 2048), None),          # iterate 4
     ("jacobi3d", (512, 512, 512), None),       # headline single sweep
+    ("jacobi3d", (1024, 1024, 1024), None),    # 4 GiB arrays, hw-verified
     ("jacobi3d", (512, 512, 512), 8),          # temporal fusion
     ("heat3d", (256, 256, 256), None),         # iterate 4
     ("denoise3d", (256, 256, 256), None),
