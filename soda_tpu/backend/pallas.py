@@ -736,7 +736,13 @@ def check_tpu_supported(program: StencilProgram) -> None:
     (the oracles support them; see ir/types.py docstring)."""
     for n, t in program.tensors.items():
         ty = t.type
-        if ty.is_int and ty.width > 32:
+        if ty.is_int and ty.width > 32 and "__cse" not in n:
+            # "__cse" stages are compiler-generated partial sums typed
+            # int64 only to keep the ORACLE exact when the value bound
+            # exceeds 2^31; the TPU path computes them at int32 — exactly
+            # the (documented) behavior of the unrewritten program — so
+            # tcse must not reduce TPU availability.  USER-declared 64-bit
+            # tensors stay rejected.
             raise NotImplementedError(
                 f"tensor {n!r} is {ty}: integer widths > 32 are not "
                 f"supported on the Pallas path (Mosaic is 32-bit); use "

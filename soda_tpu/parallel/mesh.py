@@ -99,9 +99,14 @@ def build_sharded_fn(
     the halo-extended shard, then slices the center (overlapped tiling
     across devices — SODA's host tiling, but over ICI)."""
     it = max(program.iterate if iterate is None else iterate, 1)
-    from ..backend.xla import _needs_wide
-
-    if _needs_wide(program):
+    # reject USER-declared >32-bit types (the mesh computes in 32-bit
+    # carriers and would silently truncate); compiler-generated "__cse"
+    # int64 partial sums are fine — int32 compute matches the unrewritten
+    # program's documented TPU behavior
+    wide = any(t.type.width > 32 for n, t in program.tensors.items()
+               if "__cse" not in n)
+    wide = wide or any(p.type.width > 32 for p in program.params.values())
+    if wide:
         raise NotImplementedError(
             f"program {program.name!r} uses >32-bit types: the sharded mesh "
             "path computes in 32-bit carriers and would silently truncate; "

@@ -325,3 +325,29 @@ def test_mixed_fractional_weight_untouched_group():
     r = max(p.valid_rim(), q.valid_rim())
     sl = (slice(None), slice(r, -r)) if r else (slice(None),) * 2
     assert np.allclose(a[sl], b2[sl], rtol=1e-6, atol=1e-6)
+
+
+def test_wide_hoists_stay_tpu_runnable():
+    """Heavy-fuzz finding: int32-parent weighted hoists are typed int64
+    for ORACLE exactness, but must not reduce TPU availability — the
+    Pallas/mesh paths compute __cse stages at int32, exactly the
+    (documented) behavior of the unrewritten program."""
+    from soda_tpu.backend import pallas as pb
+
+    src = (
+        "kernel: w\n"
+        "input int32: a(64, *)\n"
+        "output int32: out(0,0) = 4*a(-1,-1) + 8*a(-1,0) + 2*a(-1,1)"
+        " + 8*a(0,-1) + 16*a(0,0) + 4*a(0,1)"
+        " + 8*a(1,-1) + 16*a(1,0) + 4*a(1,1)\n"
+    )
+    p = parse(src)
+    q = tcse.apply(p)
+    assert any(q.tensors[n].type.width == 64
+               for n in q.tensors if "__cse" in n)
+    pb.check_tpu_supported(q)  # must NOT raise (internal stages exempt)
+    x = rng.integers(0, 500, (40, 56)).astype(np.int32)
+    a = numpy_interp.run(p, {"a": x})["out"]
+    b = pb.run(q, {"a": x}, interpret=True)["out"]
+    r = max(p.valid_rim(), q.valid_rim())
+    assert np.array_equal(a[r:-r, r:-r], b[r:-r, r:-r])
