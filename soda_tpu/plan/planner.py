@@ -637,7 +637,37 @@ def plan(
     if sweeps is not None and nf != sweeps:
         notes.append(f"requested sweeps {sweeps} adjusted to divisor {nf} "
                      f"of iterate {it}")
-    g = whole(nf)
+    if sweeps is None and it > 1:
+        # AUTO sweep selection: maximal fusion minimizes HBM traffic but
+        # deep fori chains pay the constant-extent compute waste, while a
+        # shallower trapezoid (<= TRAPEZOID_MAX_SWEEPS) costs more traffic
+        # and less VPU.  Score every divisor of `iterate` by the modeled
+        # min(HBM bound, VPU bound) and take the best feasible.
+        from ..utils.opcount import ops_per_cell, vpu_bound_gcells
+
+        ops = ops_per_cell(program)
+        best_nf, best_score, best_g = None, -1.0, None
+        for cand in sorted({d for d in range(1, it + 1) if it % d == 0}):
+            gc = whole(cand)
+            if gc is None:
+                continue
+            bpc = gc.hbm_bytes_per_call / max(gc.useful_cells_per_call, 1)
+            hbm = 819.0 / bpc
+            vpu = (vpu_bound_gcells(program, gc.compute_extent_ratio)
+                   if ops > 0 else float("inf"))
+            score = min(hbm, vpu)
+            if score > best_score:
+                best_nf, best_score, best_g = cand, score, gc
+        if best_g is not None:
+            if best_nf != nf:
+                notes.append(
+                    f"auto sweeps: {best_nf} fused sweeps beats maximal "
+                    f"fusion ({nf}) on the modeled min(HBM, VPU) bound")
+            nf, g = best_nf, best_g
+        else:
+            g = None
+    else:
+        g = whole(nf)
     while g is None and nf > 1:
         nf = max(1, nf // 2)
         while it % nf != 0:

@@ -84,7 +84,8 @@ def test_sweep_chunking_on_halo_blowup():
     g = pl.groups[0]
     assert g.sweeps < 64
     assert 64 % g.sweeps == 0
-    assert any("reduced fused sweeps" in n or "adjusted" in n for n in pl.notes)
+    assert any("reduced fused sweeps" in n or "adjusted" in n
+               or "auto sweeps" in n for n in pl.notes)
 
 
 def test_traffic_accounting_improves_with_fusion():
@@ -346,3 +347,34 @@ def test_linebuffer_2d_selected_and_matches():
     r2 = p2.valid_rim()
     sl2 = (slice(r2, -r2), slice(r2, -r2))
     assert np.array_equal(gold2[sl2], got2[sl2])
+
+
+def test_auto_sweep_selection_deep_iterate():
+    """Round 2: auto fused-sweep choice scores every divisor of iterate by
+    the modeled min(HBM, VPU) bound — deep-iterate programs pick a shallow
+    trapezoid x chunks over the VPU-wasteful maximal fori fusion."""
+    import numpy as np
+
+    from soda_tpu.backend import pallas as pb
+    from soda_tpu.interp import numpy_interp
+
+    src = (
+        "kernel: deep\niterate: 64\ninput float: a(1024, *)\n"
+        "output float: b(0,0) = (a(-1,0) + a(1,0) + a(0,-1) + a(0,1)"
+        " + a(0,0)) * 0.2f\n"
+    )
+    p = parse(src)
+    pl = plan(p, (2048, 2048))
+    g = pl.groups[0]
+    assert g.sweeps == 8 and g.trapezoid
+    assert any("auto sweeps" in n for n in pl.notes)
+    # explicit sweeps still honored
+    pl2 = plan(p, (2048, 2048), sweeps=64)
+    assert pl2.groups[0].sweeps == 64
+    # correctness of the chunked-trapezoid execution
+    x = np.random.default_rng(2).standard_normal((256, 256)).astype(np.float32)
+    gold = numpy_interp.run(p, {"a": x})["b"]
+    got = pb.run(p, {"a": x}, interpret=True)["b"]
+    r = p.valid_rim()
+    assert np.allclose(gold[r:-r, r:-r], got[r:-r, r:-r],
+                       rtol=1e-3, atol=1e-3)
