@@ -399,7 +399,11 @@ def _plan_group(
     best = None
     strategy = "windows"
     for block in candidates():
-        if any(block[d] > _round_up(grid_shape[d], 8) for d in range(rank - 1)):
+        # reject blocks larger than the (quantum-rounded) grid — EXCEPT
+        # that 16/32-quantum dtypes need at least one quantum-sized block
+        # even on tiny extents (e.g. rank-1 programs lifted to (1, X)
+        # with uint16 storage: the minimum legal block is 16 rows)
+        if any(block[d] > _round_up(grid_shape[d], q) for d in range(rank - 1)):
             continue
         ev = evaluate(block, halo)
         if ev["vmem"] <= vmem_budget and not (

@@ -378,3 +378,25 @@ def test_auto_sweep_selection_deep_iterate():
     r = p.valid_rim()
     assert np.allclose(gold[r:-r, r:-r], got[r:-r, r:-r],
                        rtol=1e-3, atol=1e-3)
+
+
+def test_rank1_uint16_lifts_and_runs():
+    """Heavy-fuzz finding: rank-1 uint16 programs lift to (1, X) whose
+    16-row minimum block exceeded the 8-rounded size guard — the guard now
+    rounds by the dtype quantum."""
+    import numpy as np
+
+    from soda_tpu.backend import pallas as pb
+    from soda_tpu.interp import numpy_interp
+
+    src = (
+        "kernel: r1u16\ninput uint16: a(*)\n"
+        "local uint16: s0(0) = a(-2) + a(2)\n"
+        "output uint16: out(0) = s0(-1) + a(0) * 2 + s0(1)\n"
+    )
+    p = parse(src)
+    x = np.random.default_rng(5).integers(0, 200, (300,)).astype(np.uint16)
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = pb.run(p, {"a": x}, interpret=True)["out"]
+    r = p.valid_rim()
+    assert np.array_equal(gold[r:-r], got[r:-r])
