@@ -667,7 +667,7 @@ def _lift_rank1(program: StencilProgram) -> StencilProgram:
     tensors = {
         n: Tensor(t.name, t.type, lift_expr(t.expr), t.dram,
                   None if t.tile_size is None else (1,) + tuple(t.tile_size),
-                  t.is_output)
+                  t.is_output, synthetic=t.synthetic)
         for n, t in program.tensors.items()
     }
     return StencilProgram(
@@ -736,13 +736,14 @@ def check_tpu_supported(program: StencilProgram) -> None:
     (the oracles support them; see ir/types.py docstring)."""
     for n, t in program.tensors.items():
         ty = t.type
-        if ty.is_int and ty.width > 32 and "__cse" not in n:
-            # "__cse" stages are compiler-generated partial sums typed
-            # int64 only to keep the ORACLE exact when the value bound
-            # exceeds 2^31; the TPU path computes them at int32 — exactly
-            # the (documented) behavior of the unrewritten program — so
-            # tcse must not reduce TPU availability.  USER-declared 64-bit
-            # tensors stay rejected.
+        if ty.is_int and ty.width > 32 and not t.synthetic:
+            # synthetic (compiler-generated) partial sums are typed int64
+            # only to keep the ORACLE exact when the value bound exceeds
+            # 2^31; the TPU path computes them at int32 — exactly the
+            # (documented) behavior of the unrewritten program — so tcse
+            # must not reduce TPU availability.  USER-declared 64-bit
+            # tensors stay rejected (including ones whose NAMES merely
+            # look compiler-generated).
             raise NotImplementedError(
                 f"tensor {n!r} is {ty}: integer widths > 32 are not "
                 f"supported on the Pallas path (Mosaic is 32-bit); use "

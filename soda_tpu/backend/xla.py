@@ -33,10 +33,22 @@ def shifted_jnp(a: jax.Array, offsets: tuple[int, ...]) -> jax.Array:
 
 
 def _needs_wide(program: StencilProgram) -> bool:
-    """True when any tensor/param is wider than the 32-bit TPU word."""
+    """True when any tensor/param is wider than the 32-bit TPU word
+    (incl. synthetic stages: running them in x64 wide mode keeps the
+    oracle-exact semantics their int64 typing exists for)."""
     types = [t.type for t in program.tensors.values()]
     types += [p.type for p in program.params.values()]
     return any(t.width > 32 for t in types)
+
+
+def user_wide_types(program: StencilProgram) -> list[str]:
+    """Names of USER-declared >32-bit tensors/params (synthetic
+    compiler-generated stages excluded) — the shared predicate for the
+    32-bit-carrier paths' loud rejections."""
+    out = [n for n, t in program.tensors.items()
+           if t.type.width > 32 and not t.synthetic]
+    out += [p.name for p in program.params.values() if p.type.width > 32]
+    return out
 
 
 def _compute_dtype(program: StencilProgram, name: str, wide: bool = False):

@@ -52,6 +52,11 @@ class Tensor:
     dram: tuple[int, ...] = (1,)
     tile_size: tuple[int | None, ...] | None = None  # inputs only; None = '*'
     is_output: bool = False
+    # compiler-generated stage (e.g. a tcse partial sum): exempt from the
+    # backend >32-bit rejections — its int64 typing exists only for oracle
+    # exactness and the TPU paths compute it at int32, identical to the
+    # unrewritten program
+    synthetic: bool = False
 
     @property
     def is_input(self) -> bool:

@@ -735,7 +735,8 @@ def apply(program: StencilProgram, max_passes: int = 10) -> StencilProgram:
     factors (hoisted stages themselves are candidates — multi-level reuse,
     e.g. a separable 5x5 Gaussian becomes a binomial chain of 1-add
     stages)."""
-    tensors = {n: Tensor(t.name, t.type, t.expr, t.dram, t.tile_size, t.is_output)
+    tensors = {n: Tensor(t.name, t.type, t.expr, t.dram, t.tile_size,
+                         t.is_output, synthetic=t.synthetic)
                for n, t in program.tensors.items()}
     # static max-|value| bounds for hoisted-stage typing: inputs from
     # declared widths; stages from their expressions when tighter (a
@@ -800,7 +801,7 @@ def apply(program: StencilProgram, max_passes: int = 10) -> StencilProgram:
                             "int", 64 if (pt.width > 32 or b >= 2**31)
                             else 32)
                         bounds[sn] = b
-                    tensors[sn] = Tensor(sn, st, se)
+                    tensors[sn] = Tensor(sn, st, se, synthetic=True)
                 tensors[name] = Tensor(t.name, t.type, e2, t.dram,
                                        t.tile_size, t.is_output)
 

@@ -99,14 +99,13 @@ def build_sharded_fn(
     the halo-extended shard, then slices the center (overlapped tiling
     across devices — SODA's host tiling, but over ICI)."""
     it = max(program.iterate if iterate is None else iterate, 1)
+    from ..backend.xla import user_wide_types
+
     # reject USER-declared >32-bit types (the mesh computes in 32-bit
-    # carriers and would silently truncate); compiler-generated "__cse"
+    # carriers and would silently truncate); synthetic compiler-generated
     # int64 partial sums are fine — int32 compute matches the unrewritten
     # program's documented TPU behavior
-    wide = any(t.type.width > 32 for n, t in program.tensors.items()
-               if "__cse" not in n)
-    wide = wide or any(p.type.width > 32 for p in program.params.values())
-    if wide:
+    if user_wide_types(program):
         raise NotImplementedError(
             f"program {program.name!r} uses >32-bit types: the sharded mesh "
             "path computes in 32-bit carriers and would silently truncate; "

@@ -648,15 +648,21 @@ def plan(
         # and less VPU.  Score every divisor of `iterate` by the modeled
         # min(HBM bound, VPU bound) and take the best feasible.
         from ..utils.opcount import ops_per_cell, vpu_bound_gcells
+        from ..utils.report import V5E_HBM_GBPS
 
         ops = ops_per_cell(program)
+        # auxiliary-input programs can only fuse sweeps on the trapezoid
+        # path (the fori kernel carries just the feedback tensor)
+        nf_cap = (TRAPEZOID_MAX_SWEEPS
+                  if len(program.input_names) > 1 else it)
         best_nf, best_score, best_g = None, -1.0, None
-        for cand in sorted({d for d in range(1, it + 1) if it % d == 0}):
+        for cand in sorted({d for d in range(1, it + 1)
+                            if it % d == 0 and d <= nf_cap}):
             gc = whole(cand)
             if gc is None:
                 continue
             bpc = gc.hbm_bytes_per_call / max(gc.useful_cells_per_call, 1)
-            hbm = 819.0 / bpc
+            hbm = V5E_HBM_GBPS / bpc
             vpu = (vpu_bound_gcells(program, gc.compute_extent_ratio)
                    if ops > 0 else float("inf"))
             score = min(hbm, vpu)
@@ -665,8 +671,8 @@ def plan(
         if best_g is not None:
             if best_nf != nf:
                 notes.append(
-                    f"auto sweeps: {best_nf} fused sweeps beats maximal "
-                    f"fusion ({nf}) on the modeled min(HBM, VPU) bound")
+                    f"auto sweeps: {best_nf} fused sweeps chosen over {nf} "
+                    f"on the modeled min(HBM, VPU) bound")
             nf, g = best_nf, best_g
         else:
             g = None

@@ -400,3 +400,41 @@ def test_rank1_uint16_lifts_and_runs():
     got = pb.run(p, {"a": x}, interpret=True)["out"]
     r = p.valid_rim()
     assert np.array_equal(gold[r:-r], got[r:-r])
+
+
+def test_auto_sweeps_respects_aux_cap():
+    """Review r2b: auto sweep selection must not pick a fori-path count for
+    aux-input programs (the fori kernel carries only the feedback tensor)."""
+    import numpy as np
+
+    from soda_tpu.backend import pallas as pb
+    from soda_tpu.interp import numpy_interp
+
+    src = (
+        "kernel: dn\niterate: 64\n"
+        "input float: u(1024, *)\ninput float: f(1024, *)\n"
+        "output float: u1(0,0) = (u(-1,0) + u(1,0) + u(0,-1) + u(0,1)"
+        " + 0.5f * f(0,0)) / 4.5f\n"
+    )
+    p = parse(src)
+    pl = plan(p, (512, 512))
+    g = pl.groups[0]
+    assert g.sweeps <= 8 and g.trapezoid
+    x = np.random.default_rng(0).standard_normal((128, 128)).astype(np.float32)
+    f = np.random.default_rng(1).standard_normal((128, 128)).astype(np.float32)
+    out = pb.run(p, {"u": x, "f": f}, interpret=True)["u1"]  # must not raise
+    assert out.shape == x.shape
+
+
+def test_user_tensor_named_like_cse_stays_rejected():
+    """Review r2b: the synthetic-stage exemption is a Tensor FLAG, not a
+    name-substring test — user tensors named *__cse* stay rejected."""
+    import pytest as _pytest
+
+    from soda_tpu.backend import pallas as pb
+
+    src = ("kernel: w\ninput int64: a__cse1(64, *)\n"
+           "output int64: out(0,0) = a__cse1(0,0) + a__cse1(0,1)\n")
+    p = parse(src)
+    with _pytest.raises(NotImplementedError):
+        pb.check_tpu_supported(p)
