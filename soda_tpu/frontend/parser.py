@@ -384,7 +384,17 @@ def build_program(raw: RawProgram, overrides: dict | None = None) -> StencilProg
 
 def parse(text: str, overrides: dict | None = None) -> StencilProgram:
     """Parse `.soda` source text into a validated StencilProgram."""
-    return build_program(parse_raw(text), overrides)
+    import lark
+
+    try:
+        raw = parse_raw(text)
+    except lark.exceptions.UnexpectedInput as e:
+        line = text.splitlines()[e.line - 1] if 0 < e.line <= len(
+            text.splitlines()) else ""
+        raise ValueError(
+            f".soda syntax error at line {e.line}, column {e.column}:\n"
+            f"  {line}\n  {' ' * max(e.column - 1, 0)}^") from e
+    return build_program(raw, overrides)
 
 
 def parse_file(path: str | pathlib.Path, overrides: dict | None = None) -> StencilProgram:

@@ -162,3 +162,10 @@ def test_substitute_inlining():
 def test_comments_and_blank_lines():
     p = parse("# hello\n\nkernel: t\n# mid\ninput float: a(8, *)\n\noutput float: b(0,0) = a(0,0)  # trailing\n")
     assert p.name == "t"
+
+
+def test_syntax_error_names_location():
+    """Malformed .soda (e.g. missing ':') gets a friendly error naming the
+    line and column, not a raw lark exception."""
+    with pytest.raises(ValueError, match="syntax error at line 1"):
+        parse("kernel blur\ninput float: a(*)\noutput float: b(0) = a(0)\n")
