@@ -160,8 +160,12 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
     Zc, Yc = (g.core[0], g.core[1]) if g.core else (Z, Y)
     Gz = Zc // bz
     Gy = Yc // by
-    rz_lo = max((-g.spans[i][0][0] for i in g.external_inputs), default=0)
-    rz_hi = max((g.spans[i][0][1] for i in g.external_inputs), default=0)
+    # constant-extent slab evaluation: margins from the NON-CANCELLING
+    # chain creep (mixed-sign stage chains need more than the composed
+    # span — see StencilProgram.chain_creep), matching the planner
+    creep1 = program.chain_creep(g.stages, g.outputs)
+    rz_lo = -creep1[0][0]
+    rz_hi = creep1[0][1]
     # y halo (strip width) from the plan; 0 when y is untiled (by == Y)
     hy = max((g.halo[i][1][0] for i in g.external_inputs), default=0)
     n_in = len(g.external_inputs)

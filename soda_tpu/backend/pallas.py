@@ -524,13 +524,14 @@ def _apply_rims(program: StencilProgram, g: GroupPlan,
     rank = program.rank
     nf = g.sweeps
     outs = dict(outs)
+    # rim slabs evaluate at CONSTANT extent (_eval_group_slab): margins
+    # use the non-cancelling chain creep x sweeps, not the composed span
+    creep1 = program.chain_creep(g.stages, g.outputs)
     for d in range(rank - 1):
         if g.core[d] == grid_shape[d]:
             continue
-        hi = max((g.spans[i][d][1] for i in g.external_inputs), default=0) \
-            + (nf - 1) * g.sweep_span[d][1]
-        lo = max((-g.spans[i][d][0] for i in g.external_inputs), default=0) \
-            + (nf - 1) * -g.sweep_span[d][0]
+        hi = nf * creep1[d][1]
+        lo = nf * -creep1[d][0]
         keep_lo = g.core[d] - hi       # first invalid-or-unwritten row
         in_lo = max(keep_lo - lo, 0)   # slab start: taps of kept rows
         # keep the slab's extent a sublane multiple: XLA's layout

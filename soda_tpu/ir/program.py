@@ -189,6 +189,43 @@ class StencilProgram:
 
         return rec(name)
 
+    def chain_creep(self, stages: list[str] | None = None,
+                    outputs: list[str] | None = None
+                    ) -> tuple[tuple[int, int], ...]:
+        """Per-dim NON-CANCELLING (lo, hi) invalid depth of one
+        constant-extent zero-fill evaluation of the stage chain.
+
+        Differs from cumulative_span: when every stage is materialized at
+        the SAME extent (fused-sweep fori bodies, line-buffer slabs, rim
+        slabs, mesh sweeps), opposite-sign offsets along a path do NOT
+        cancel — a stage reading its parent at +1 is invalid in the top
+        row even if ITS consumer reads it at -2.  creep >= |span| always;
+        they differ exactly on mixed-sign chains."""
+        stages = self.stage_order() if stages is None else stages
+        outputs = self.output_names if outputs is None else outputs
+        rank = self.rank
+        lo: dict[str, list[int]] = {}
+        hi: dict[str, list[int]] = {}
+        for st in stages:
+            l = [0] * rank
+            h = [0] * rank
+            for parent, offs in self.tensors[st].window().items():
+                pl_ = lo.get(parent, [0] * rank)
+                ph = hi.get(parent, [0] * rank)
+                for off in offs:
+                    for d in range(rank):
+                        l[d] = max(l[d], pl_[d] + max(0, -off[d]))
+                        h[d] = max(h[d], ph[d] + max(0, off[d]))
+            lo[st] = l
+            hi[st] = h
+        out_l = [0] * rank
+        out_h = [0] * rank
+        for o in outputs:
+            for d in range(rank):
+                out_l[d] = max(out_l[d], lo.get(o, [0] * rank)[d])
+                out_h[d] = max(out_h[d], hi.get(o, [0] * rank)[d])
+        return tuple((-l, h) for l, h in zip(out_l, out_h))
+
     def radius(self) -> int:
         """Max |offset| over all outputs' cumulative spans, one sweep."""
         r = 0

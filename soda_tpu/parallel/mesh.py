@@ -120,11 +120,10 @@ def build_sharded_fn(
     if it % nf != 0:
         raise ValueError(f"sweeps_per_exchange {nf} must divide iterate {it}")
 
-    out_span = program.cumulative_span(program.output_names[0])
-    for o in program.output_names[1:]:
-        s2 = program.cumulative_span(o)
-        out_span = tuple((min(a[0], b[0]), max(a[1], b[1]))
-                         for a, b in zip(out_span, s2))
+    # per-sweep margin for the shard-local CONSTANT-EXTENT evaluation
+    # (sweeps_on / halo-extended shards): the non-cancelling chain creep,
+    # not the composed span — mixed-sign stage chains need more
+    out_span = program.chain_creep()
 
     # clamp fused sweeps so the halo never exceeds a neighbor's shard
     # (multi-hop exchange is a later optimization)

@@ -129,6 +129,7 @@ class Plan:
                     "bytes_per_cell_update": g.hbm_bytes_per_call / max(g.useful_cells_per_call, 1),
                     "compute_extent_ratio": g.compute_extent_ratio,
                     "core": None if g.core is None else list(g.core),
+                    "trapezoid": g.trapezoid,
                 }
                 for g in self.groups
             ],
@@ -225,6 +226,11 @@ def _plan_group(
         out_span = program.cumulative_span(program.output_names[0])
     else:
         out_span = tuple((0, 0) for _ in range(rank))
+    # NON-CANCELLING one-sweep creep of the group chain: the margin every
+    # CONSTANT-EXTENT evaluation needs (fori sweep bodies, 3-D line-buffer
+    # slabs, rim slabs).  >= the composed span; differs on mixed-sign
+    # chains (a stage reading +1 consumed at -2 does not cancel).
+    creep1 = program.chain_creep(members, outputs)
 
     def io_bytes(name: str) -> int:
         return program.tensors[name].type.tpu_storage_bytes
@@ -234,9 +240,21 @@ def _plan_group(
     q = max([program.tensors[n].type.sublane_quantum
              for n in list(ext_inputs) + list(outputs)] or [8])
 
+    def _sweep_margin(i: str) -> Span:
+        """Window margin for input i: its composed span for one sweep
+        (exact-extent evaluation), widened to nf x chain creep for fused
+        sweeps (the fori path evaluates at constant extent where offset
+        signs do not cancel; trapezoid needs less but stays correct)."""
+        sp = spans.get(i, tuple((0, 0) for _ in range(rank)))
+        if nf == 1:
+            return sp
+        return tuple((min(sp[d][0], nf * creep1[d][0]),
+                      max(sp[d][1], nf * creep1[d][1]))
+                     for d in range(rank))
+
     halo = {
-        i: _align_halo(spans.get(i, tuple((0, 0) for _ in range(rank))),
-                       nf, out_span, rank, q)
+        i: _align_halo(_sweep_margin(i), 1,
+                       tuple((0, 0) for _ in range(rank)), rank, q)
         for i in ext_inputs
     }
     # strips variant: leading-dim strips must also be tile-quantum-aligned
@@ -262,12 +280,10 @@ def _plan_group(
     creep = []      # invalid output depth at a zero-filled hi core edge
     lo_reach = []   # input reach below an output row (for rim slab sizing)
     for d in range(rank - 1):
-        hi = max((spans[i][d][1] for i in ext_inputs), default=0) \
-            + (nf - 1) * out_span[d][1]
-        lo = max((-spans[i][d][0] for i in ext_inputs), default=0) \
-            + (nf - 1) * -out_span[d][0]
-        creep.append(hi)
-        lo_reach.append(lo)
+        # rim slabs evaluate at CONSTANT extent: non-cancelling chain
+        # creep per sweep, not the composed span
+        creep.append(nf * creep1[d][1])
+        lo_reach.append(nf * -creep1[d][0])
     core = tuple(grid_shape[d] // q * q for d in range(rank - 1)) \
         + (grid_shape[-1],)
     hybrid_dims = [d for d in range(rank - 1) if core[d] != grid_shape[d]]
@@ -498,10 +514,12 @@ def _plan_group(
     if rank == 3 and nf == 1 and block_override is None:
         Z, Y, X = grid_shape
         Zc, Yc = core[0], core[1]  # == Z, Y when the grid is aligned
-        rz_lo = max((-spans[i][0][0] for i in ext_inputs), default=0)
-        rz_hi = max((spans[i][0][1] for i in ext_inputs), default=0)
-        ry = max(max(-spans[i][1][0], spans[i][1][1])
-                 for i in ext_inputs) if ext_inputs else 0
+        # slab margins: the kernel evaluates stages at CONSTANT slab
+        # extent (_shift_all), so margins use the non-cancelling chain
+        # creep, not the composed input spans
+        rz_lo = -creep1[0][0]
+        rz_hi = creep1[0][1]
+        ry = max(-creep1[1][0], creep1[1][1])
         y_cands = [Yc] + [b for b in (512, 256, 128, 64, 32)
                           if b < Yc and Yc % b == 0 and b % q == 0]
         for bz in (8, 16, 24, 32, 48, 64):

@@ -392,3 +392,47 @@ def test_pallas_rejects_wide_params():
     p = parse(src)
     with pytest.raises(NotImplementedError, match="param"):
         pb.check_tpu_supported(p)
+
+
+def test_mixed_sign_chain_constant_extent_margins():
+    """Extended-fuzz finding: a stage reading its parent at +z consumed at
+    -z does NOT cancel under constant-extent evaluation (line-buffer
+    slabs, rim slabs, mesh sweeps) — margins must use the non-cancelling
+    chain creep.  This multi-block 3-D case was wrong at every block
+    boundary row before the fix."""
+    from soda_tpu.backend import pallas as pb
+
+    src = (
+        "kernel: mc\n"
+        "input float: a(64, 64, *)\n"
+        "local float: s0(0,0,0) = a(2, 0, 0) + a(1, 0, 0)\n"
+        "output float: out(0,0,0) = s0(-2, 0, 0) + s0(1, 0, 0)\n"
+    )
+    p = parse(src)
+    assert p.chain_creep()[0] == (-2, 3)   # vs composed span (-1, 3)
+    x = np.random.default_rng(1).standard_normal((32, 16, 128)).astype(np.float32)
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = pb.run(p, {"a": x}, interpret=True, vmem_budget=2 * 2**20)["out"]
+    r = p.valid_rim()
+    sl = tuple(slice(r, -r) for _ in range(3))
+    assert np.allclose(gold[sl], got[sl], rtol=1e-5, atol=1e-6)
+
+
+def test_mixed_sign_chain_sharded():
+    """Same cancellation hazard on the mesh path (constant-extent
+    sweeps_on with halo-exchange margins)."""
+    from soda_tpu.parallel.mesh import run_sharded
+
+    src = (
+        "kernel: mc2\n"
+        "input float: a(64, *)\n"
+        "local float: s0(0,0) = a(2, 0) + a(1, 0)\n"
+        "output float: out(0,0) = s0(-2, 0) + s0(1, 0)\n"
+    )
+    p = parse(src)
+    x = np.random.default_rng(2).standard_normal((64, 96)).astype(np.float32)
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = run_sharded(p, {"a": x}, axis_sizes=[4], dims=[0])["out"]
+    r = p.valid_rim()
+    sl = (slice(r, -r), slice(r, -r))
+    assert np.allclose(gold[sl], got[sl], rtol=1e-5, atol=1e-6)

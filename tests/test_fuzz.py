@@ -34,14 +34,26 @@ def gen_program(rng: random.Random, rank: int) -> str:
         r = f"{src}({off()})"
         if is_float:
             k = rng.random()
-            if k < 0.3:
+            if k < 0.25:
                 return f"{r} * {round(rng.uniform(-2, 2), 3)}f"
-            if k < 0.4:
+            if k < 0.35:
                 return f"abs({r})"
+            if k < 0.45:
+                return f"min({r}, {src}({off()}))"
+            if k < 0.55:
+                return f"({r} > 0.0f ? {r} : {src}({off()}))"
             return r
         k = rng.random()
-        if k < 0.3:
+        if k < 0.25:
             return f"{r} * {rng.randint(1, 3)}"
+        if k < 0.35:
+            return f"max({r}, {src}({off()}))"
+        if k < 0.45:
+            return f"({r} >> {rng.randint(0, 2)})"
+        if k < 0.55:
+            return f"({r} > {rng.randint(10, 100)} ? {r} : {src}({off()}))"
+        if k < 0.62:
+            return f"int32({r} & {2**rng.randint(4, 10) - 1})"
         return r
 
     for s in range(n_stages):
