@@ -389,11 +389,14 @@ def parse(text: str, overrides: dict | None = None) -> StencilProgram:
     try:
         raw = parse_raw(text)
     except lark.exceptions.UnexpectedInput as e:
-        line = text.splitlines()[e.line - 1] if 0 < e.line <= len(
-            text.splitlines()) else ""
+        lines = text.splitlines() or [""]
+        # UnexpectedEOF (truncated input) carries line = column = -1:
+        # point at the end of the source instead
+        ln = e.line if 0 < e.line <= len(lines) else len(lines)
+        col = e.column if e.column > 0 else len(lines[ln - 1]) + 1
         raise ValueError(
-            f".soda syntax error at line {e.line}, column {e.column}:\n"
-            f"  {line}\n  {' ' * max(e.column - 1, 0)}^") from e
+            f".soda syntax error at line {ln}, column {col}:\n"
+            f"  {lines[ln - 1]}\n  {' ' * max(col - 1, 0)}^") from e
     return build_program(raw, overrides)
 
 

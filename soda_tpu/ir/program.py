@@ -214,8 +214,12 @@ class StencilProgram:
                 ph = hi.get(parent, [0] * rank)
                 for off in offs:
                     for d in range(rank):
-                        l[d] = max(l[d], pl_[d] + max(0, -off[d]))
-                        h[d] = max(h[d], ph[d] + max(0, off[d]))
+                        # a consumer tapping AWAY from the parent's invalid
+                        # band escapes it — clamp at 0 per step (exact for
+                        # the constant-extent zero-fill evaluation; without
+                        # the clamp alternating-sign chains double-count)
+                        l[d] = max(l[d], max(0, pl_[d] - off[d]))
+                        h[d] = max(h[d], max(0, ph[d] + off[d]))
             lo[st] = l
             hi[st] = h
         out_l = [0] * rank

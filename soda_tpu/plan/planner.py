@@ -242,14 +242,13 @@ def _plan_group(
 
     def _sweep_margin(i: str) -> Span:
         """Window margin for input i: its composed span for one sweep
-        (exact-extent evaluation), widened to nf x chain creep for fused
-        sweeps (the fori path evaluates at constant extent where offset
-        signs do not cancel; trapezoid needs less but stays correct)."""
-        sp = spans.get(i, tuple((0, 0) for _ in range(rank)))
+        (exact-extent evaluation); nf x chain creep for fused sweeps (the
+        fori path evaluates at constant extent where offset signs do not
+        cancel; creep >= any input's composed span by construction, and
+        the trapezoid path needs less but stays correct)."""
         if nf == 1:
-            return sp
-        return tuple((min(sp[d][0], nf * creep1[d][0]),
-                      max(sp[d][1], nf * creep1[d][1]))
+            return spans.get(i, tuple((0, 0) for _ in range(rank)))
+        return tuple((nf * creep1[d][0], nf * creep1[d][1])
                      for d in range(rank))
 
     halo = {
@@ -355,8 +354,14 @@ def _plan_group(
             sp = spans.get(s, tuple((0, 0) for _ in range(rank)))
             e = 1
             for d in range(rank):
-                lo = -sp[d][0] + (nf - 1) * -out_span[d][0]
-                hi = sp[d][1] + (nf - 1) * out_span[d][1]
+                if nf > 1:
+                    # constant-extent fori working set: every stage value
+                    # lives at the full nf x creep window
+                    lo = nf * -creep1[d][0]
+                    hi = nf * creep1[d][1]
+                else:
+                    lo = -sp[d][0]
+                    hi = sp[d][1]
                 e *= block[d] + lo + hi
             inter += e * dtype_bytes
         vmem = 2 * (win_bytes + out_bytes) + inter
