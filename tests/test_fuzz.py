@@ -324,3 +324,45 @@ def test_fuzz_minmax_tcse_bit_exact(seed):
     got = pallas_backend.run(q, {"a": x}, interpret=True)["out"]
     assert np.array_equal(interior(a, rim), interior(got, rim)), \
         f"minmax pallas mismatch:\n{src}"
+
+
+def gen_signed_chain(rng: random.Random, rank: int) -> str:
+    """Chains engineered for MIXED-SIGN offsets — the constant-extent
+    margin hazard (see StencilProgram.chain_creep)."""
+    n = rng.randint(2, 4)
+    tile = ", ".join(["64"] * (rank - 1) + ["*"])
+    lines = ["kernel: sc", f"input float: a({tile})"]
+    prev = "a"
+    for i in range(n):
+        offs = [tuple(rng.choice([-2, -1, 1, 2]) for _ in range(rank))
+                for _ in range(rng.randint(1, 3))]
+        expr = " + ".join(f"{prev}({', '.join(map(str, o))})" for o in offs)
+        kind = "output" if i == n - 1 else "local"
+        nm = "out" if kind == "output" else f"s{i}"
+        anchor = ", ".join(["0"] * rank)
+        lines.append(f"{kind} float: {nm}({anchor}) = ({expr}) * 0.4f")
+        prev = nm
+    return "\n".join(lines) + "\n"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_mixed_sign_chains(seed):
+    """Mixed-sign stage chains through multi-block linebuffer/strips plans
+    and iterate — guards the non-cancelling chain-creep margins."""
+    rng = random.Random(1500 + seed)
+    rank = rng.choice([2, 3])
+    src = gen_signed_chain(rng, rank)
+    p = parse(src)
+    it = rng.choice([1, 2, 4])
+    shape = (64, 96) if rank == 2 else (24, 32, 64)
+    x = np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+    gold = numpy_interp.run(p, {"a": x}, iterate=it)["out"]
+    rim = p.valid_rim(iterate=it)
+    ga = interior(gold, rim)
+    if ga.size == 0:
+        pytest.skip("rim exceeds grid")
+    got = pallas_backend.run(p, {"a": x}, interpret=True, iterate=it,
+                             vmem_budget=2 * 2**20)["out"]
+    assert np.allclose(interior(got, rim).astype(np.float64),
+                       ga.astype(np.float64),
+                       rtol=1e-3, atol=1e-3), f"mixed-sign:\n{src}"
