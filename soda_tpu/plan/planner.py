@@ -42,9 +42,13 @@ Span = tuple[tuple[int, int], ...]  # per-dim (lo, hi), lo <= 0 <= hi
 
 # fused sweeps up to this count run Python-unrolled with exact shrinking
 # extents (trapezoid); beyond it, a constant-extent fori_loop keeps the
-# Mosaic kernel size (and compile time) bounded.  8 is the empirical knee
-# from round 1's --unroll-iterate probes.
-TRAPEZOID_MAX_SWEEPS = 8
+# Mosaic kernel size (and compile time) bounded.  Hardware-measured Mosaic
+# compile times for the unrolled jacobi2d trapezoid at 1024x1024 (v5e,
+# this round): 8 sweeps = 19 s, 12 = 36 s, 16 = 61 s, 24 = 141 s
+# (~quadratic in depth).  16 keeps first-compile ~1 min — acceptable with
+# the persistent cache — and the auto-sweep selector only picks a depth
+# when its modeled min(HBM, VPU) bound beats shallower divisors.
+TRAPEZOID_MAX_SWEEPS = 16
 
 
 def _round_up(x: int, m: int) -> int:
@@ -713,6 +717,11 @@ def plan(
     if g is not None:
         notes.append(
             f"iterate={it} executed as {it // nf} kernel call(s) × {nf} fused sweeps")
+        if g.trapezoid and nf > 8:
+            notes.append(
+                f"deep trapezoid ({nf} sweeps): first Mosaic compile takes "
+                f"~1-2 min (cached thereafter); --sweeps 8 trades HBM "
+                f"traffic for compile time")
         return Plan(program.name, program.rank, [g], tuple(grid_shape), notes,
                     ideal_bytes_per_cell=ideal)
 

@@ -219,10 +219,11 @@ def test_fuzz_trapezoid_iterate(seed):
     rng = random.Random(4000 + seed)
     src = gen_program(rng, 2)
     # the feedback requires matching in/out types; gen_program reuses one
-    # type everywhere so any generated program qualifies
-    it = rng.randint(2, 8)
+    # type everywhere so any generated program qualifies.  Depths 9-16
+    # exercise the raised TRAPEZOID_MAX_SWEEPS (round 2).
+    it = rng.randint(2, 16)
     p = parse(src)
-    shape = (64, 64)
+    shape = (64, 64) if it <= 8 else (128, 128)
     x = make_input(p, shape, np.random.default_rng(seed))
     gold = numpy_interp.run(p, {"a": x}, iterate=it)["out"]
     rim = p.valid_rim(iterate=it)

@@ -287,6 +287,37 @@ def test_trapezoid_cuts_compute_waste():
     assert g.compute_extent_ratio < 1.1
 
 
+def test_deep_trapezoid_auto_pick_hbm_bound():
+    """Round 2 (TODO 'trapezoid beyond 8'): with TRAPEZOID_MAX_SWEEPS=16,
+    an HBM-bound cheap stencil auto-picks 16 fused trapezoid sweeps
+    (halving traffic vs 8x2 chunks), while VPU-bound programs still pick
+    8; a 16-sweep trapezoid execution matches the oracle.
+
+    Hardware-measured Mosaic compile at depth 16 is ~1-2 min (see
+    TRAPEZOID_MAX_SWEEPS comment) and the plan notes say so."""
+    import numpy as np
+
+    from soda_tpu.backend import pallas as pb
+    from soda_tpu.interp import numpy_interp
+
+    src = ("kernel: cheap16\niterate: 16\ninput float: a(1024, *)\n"
+           "output float: b(0,0) = (a(0,-1) + a(0,1)) * 0.5f\n")
+    p = parse(src)
+    pl = plan(p, (4096, 4096))
+    g = pl.groups[0]
+    assert g.sweeps == 16 and g.trapezoid
+    assert any("deep trapezoid" in n for n in pl.notes)
+    # correctness of the 16-deep shrinking-extent schedule
+    pl_small = plan(p, (256, 256), sweeps=16)
+    assert pl_small.groups[0].trapezoid
+    x = np.random.default_rng(5).standard_normal((256, 256)).astype(np.float32)
+    gold = numpy_interp.run(p, {"a": x})["b"]
+    got = pb.run(p, {"a": x}, interpret=True, the_plan=pl_small)["b"]
+    r = p.valid_rim()
+    assert np.allclose(gold[r:-r, r:-r], got[r:-r, r:-r],
+                       rtol=1e-5, atol=1e-5)
+
+
 def test_aux_input_iterate_backends():
     """iterate with an auxiliary input: pallas (trapezoid) and xla match
     the oracle; fused sweeps capped at the trapezoid limit."""
@@ -419,7 +450,8 @@ def test_auto_sweeps_respects_aux_cap():
     p = parse(src)
     pl = plan(p, (512, 512))
     g = pl.groups[0]
-    assert g.sweeps <= 8 and g.trapezoid
+    from soda_tpu.plan.planner import TRAPEZOID_MAX_SWEEPS
+    assert g.sweeps <= TRAPEZOID_MAX_SWEEPS and g.trapezoid
     x = np.random.default_rng(0).standard_normal((128, 128)).astype(np.float32)
     f = np.random.default_rng(1).standard_normal((128, 128)).astype(np.float32)
     out = pb.run(p, {"u": x, "f": f}, interpret=True)["u1"]  # must not raise
