@@ -34,6 +34,37 @@ def _parse_int_list(s: str) -> tuple[int, ...]:
     return tuple(int(x) for x in s.replace("x", ",").split(",") if x)
 
 
+def _parse_mesh(s: str):
+    """'2,4' or 'dcn:2,x:4' -> (sizes, names, link_classes).
+
+    An axis named dcn* is classed as a cross-slice DCN link (slow); all
+    others ride ICI.  Unnamed axes get ax0, ax1, ..."""
+    sizes, names = [], []
+    for i, part in enumerate(p for p in s.split(",") if p):
+        if ":" in part:
+            name, sz = part.split(":", 1)
+        else:
+            name, sz = f"ax{i}", part
+        names.append(name)
+        sizes.append(int(sz))
+    links = {n: ("dcn" if n.startswith("dcn") else "ici") for n in names}
+    return tuple(sizes), tuple(names), links
+
+
+def _parse_cadence(s: str | None, axis_names):
+    """'4' (uniform) or '4,2' (per mesh axis) -> int | dict | None."""
+    if s is None:
+        return None
+    ks = [int(x) for x in s.split(",") if x]
+    if len(ks) == 1:
+        return ks[0]
+    if len(ks) != len(axis_names):
+        raise SystemExit(
+            f"--sweeps-per-exchange: {len(ks)} values for "
+            f"{len(axis_names)} mesh axes")
+    return dict(zip(axis_names, ks))
+
+
 def make_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="sodac",
@@ -66,8 +97,16 @@ def make_parser() -> argparse.ArgumentParser:
                     help="fused temporal sweeps per kernel call")
     ap.add_argument("--interpret", action="store_true",
                     help="run Pallas in interpreter mode (no TPU needed)")
-    ap.add_argument("--mesh", type=_parse_int_list, default=None,
-                    help="shard over a device mesh, e.g. --mesh 2,4")
+    ap.add_argument("--mesh", type=str, default=None,
+                    help="shard over a device mesh: sizes ('2,4') or named "
+                         "axes ('dcn:2,x:4' — an axis named dcn* is "
+                         "treated as a slow cross-slice DCN link and the "
+                         "planner exchanges its halo less often)")
+    ap.add_argument("--sweeps-per-exchange", type=str, default=None,
+                    metavar="K[,K...]",
+                    help="halo-exchange cadence for --mesh: one value, or "
+                         "one per mesh axis (each must divide iterate and "
+                         "form a divisor chain); default: modeled auto")
     ap.add_argument("--compile-cache", type=str, default=None,
                     help="persistent XLA compilation cache directory")
     ap.add_argument("--unroll-iterate", type=int, nargs="?", const=0,
@@ -308,7 +347,11 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         if args.mesh:
             from ..parallel.mesh import run_sharded
-            outs = run_sharded(program, ins, ps, axis_sizes=args.mesh)
+            sizes, names, links = _parse_mesh(args.mesh)
+            spe = _parse_cadence(args.sweeps_per_exchange, names)
+            outs = run_sharded(program, ins, ps, axis_sizes=sizes,
+                               axis_names=names, link_classes=links,
+                               sweeps_per_exchange=spe)
         elif args.backend == "pallas":
             from ..backend import pallas as pb
             # --interpret forces the interpreter; otherwise let the backend

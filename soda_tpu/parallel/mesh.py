@@ -79,17 +79,97 @@ def halo_exchange(x: jax.Array, dim: int, lo: int, hi: int,
     return jnp.concatenate(parts, axis=dim)
 
 
+# ---- link model --------------------------------------------------------
+# Modeled per-device link constants (GB/s, per-exchange latency s).  This
+# environment cannot measure them (one chip, timing-emulated — BASELINE.md):
+# ICI uses the public v5e neighbor-link order of magnitude; DCN is the
+# cross-slice share per chip typical of multi-slice pods.  On a real pod,
+# replace with measured numbers — only the RATIO drives cadence choice.
+LINK_MODEL = {
+    "ici": (90.0, 2e-6),
+    "dcn": (6.25, 100e-6),
+}
+
+
+def _divisors(n: int) -> list[int]:
+    return [d for d in range(1, n + 1) if n % d == 0]
+
+
+def choose_exchange_cadence(
+    program: StencilProgram,
+    grid_shape: tuple[int, ...],
+    mesh: Mesh,
+    dims: Sequence[int],
+    iterate: int,
+    link_classes: Mapping[str, str],
+) -> dict[str, int]:
+    """Pick per-axis sweeps-per-exchange from the modeled link costs.
+
+    For each mesh axis (independently), scores every divisor k of
+    `iterate` by  (it/k)·(latency + halo_bytes(k)/bw)  +  it·extra_cells(k)
+    /vpu_rate — fewer, deeper exchanges amortize slow-link latency and
+    bandwidth at the price of halo recompute — then rounds the choices to
+    a divisor chain (slow axes exchange at multiples of fast axes' cadence)
+    so the exchange schedule nests.  TPU-native analog of multi-slice
+    training's 'communicate over DCN less often than over ICI'."""
+    from ..utils.opcount import V5E_VPU_TOPS, ops_per_cell
+
+    it = max(iterate, 1)
+    out_span = program.chain_creep()
+    mesh_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    ops = max(ops_per_cell(program), 1)
+    cell_s = ops / (V5E_VPU_TOPS * 1e12)
+    # bytes per cell moved/computed: use the widest tensor container
+    dtype_b = max(t.type.tpu_storage_bytes for t in program.tensors.values())
+
+    cad: dict[str, int] = {}
+    for ax, d in zip(mesh.axis_names, dims):
+        bw_gbps, lat = LINK_MODEL[link_classes.get(ax, "ici")]
+        shard = grid_shape[d] // mesh_sizes[ax]
+        r = (-out_span[d][0]) + out_span[d][1]
+        if r == 0 or it == 1:
+            cad[ax] = it
+            continue
+        # local cross-section: the shard's area perpendicular to d
+        local_shape = []
+        for e in range(len(grid_shape)):
+            sz = grid_shape[e]
+            for a2, d2 in zip(mesh.axis_names, dims):
+                if d2 == e:
+                    sz //= mesh_sizes[a2]
+            local_shape.append(sz)
+        cross = math.prod(local_shape) // max(local_shape[d], 1)
+        best_k, best_t = 1, float("inf")
+        for k in _divisors(it):
+            halo_bytes = k * r * cross * dtype_b
+            comm = (it // k) * (lat + halo_bytes / (bw_gbps * 1e9))
+            extra = it * (k * r) * cross * cell_s
+            t = comm + extra
+            if t < best_t:
+                best_k, best_t = k, t
+        cad[ax] = best_k
+    # round to a divisor chain (sorted descending, each divides the prior)
+    order = sorted(cad, key=lambda a: -cad[a])
+    for prev, nxt in zip(order, order[1:]):
+        k = cad[nxt]
+        while cad[prev] % k != 0:
+            k -= 1
+        cad[nxt] = k
+    return cad
+
+
 def build_sharded_fn(
     program: StencilProgram,
     mesh: Mesh,
     *,
     dims: Sequence[int] | None = None,
     iterate: int | None = None,
-    sweeps_per_exchange: int | None = None,
+    sweeps_per_exchange: int | Mapping[str, int] | None = None,
     local_backend: str = "xla",
     interpret: bool = False,
     grid_shape: tuple[int, ...] | None = None,
     overlap: bool = False,
+    link_classes: Mapping[str, str] | None = None,
 ):
     """Build fn(inputs, params) -> outputs, sharded over `mesh`.
 
@@ -97,7 +177,14 @@ def build_sharded_fn(
     dims).  Per exchange, halo width = sweeps_per_exchange × per-sweep span
     along each sharded dim; local compute runs that many fused sweeps on
     the halo-extended shard, then slices the center (overlapped tiling
-    across devices — SODA's host tiling, but over ICI)."""
+    across devices — SODA's host tiling, but over ICI).
+
+    Multi-slice pods: pass `link_classes` mapping mesh axis name →
+    "ici"|"dcn" and either a per-axis `sweeps_per_exchange` mapping or
+    None (auto: `choose_exchange_cadence` picks deeper cadences on slow
+    DCN axes from the modeled link costs).  Differing per-axis cadences
+    run a NESTED exchange schedule — slowest axis outermost — and fall
+    back to the synchronous (non-overlap) path."""
     it = max(program.iterate if iterate is None else iterate, 1)
     from ..backend.xla import user_wide_types
 
@@ -116,7 +203,34 @@ def build_sharded_fn(
         dims = tuple(range(len(axis_names)))
     if len(dims) != len(axis_names):
         raise ValueError("one tensor dim per mesh axis")
-    nf = sweeps_per_exchange or it
+
+    # normalize the exchange cadence: uniform int (legacy), explicit
+    # per-axis mapping, or auto per-axis when a DCN axis is declared
+    cad: dict[str, int] | None = None
+    if isinstance(sweeps_per_exchange, Mapping):
+        cad = {ax: int(sweeps_per_exchange.get(ax, it)) for ax in axis_names}
+    elif (sweeps_per_exchange is None and link_classes
+          and grid_shape is not None and it > 1
+          and any(link_classes.get(ax) == "dcn" for ax in axis_names)):
+        cad = choose_exchange_cadence(
+            program, grid_shape, mesh, dims, it, link_classes)
+    if cad is not None:
+        for ax, k in cad.items():
+            if k < 1 or it % k != 0:
+                raise ValueError(
+                    f"cadence {k} for mesh axis {ax!r} must divide "
+                    f"iterate {it}")
+        chain = sorted(cad.values(), reverse=True)
+        for a, b in zip(chain, chain[1:]):
+            if a % b != 0:
+                raise ValueError(
+                    f"per-axis exchange cadences must form a divisor chain "
+                    f"(slow axes exchange at multiples of fast axes); "
+                    f"got {cad}")
+        if len(set(cad.values())) == 1:
+            sweeps_per_exchange, cad = chain[0], None
+    nf = (sweeps_per_exchange
+          if isinstance(sweeps_per_exchange, int) else None) or it
     if it % nf != 0:
         raise ValueError(f"sweeps_per_exchange {nf} must divide iterate {it}")
 
@@ -139,7 +253,7 @@ def build_sharded_fn(
             # auto-chosen nf prefers halos within one shard (single-hop
             # exchange); an EXPLICIT sweeps_per_exchange is honored — wider
             # halos gather from k-hop neighbors in halo_exchange
-            if sweeps_per_exchange is None:
+            if sweeps_per_exchange is None and cad is None:
                 while nf > 1 and (nf * r > shard or it % nf != 0):
                     nf -= 1
 
@@ -303,6 +417,78 @@ def build_sharded_fn(
             outs = local_chunk(nxt, params)
         return outs
 
+    # ---- nested per-axis cadence (multi-slice) schedule ------------------
+    # Slowest axis outermost: each level exchanges its own halo every
+    # cad[ax] sweeps and recurses; the innermost runs cad[min] constant-
+    # extent zero-fill sweeps (XLA or per-shard Pallas).  Validity creep
+    # along an outer dim stays within that level's k*creep halo exactly as
+    # in the uniform case; inner exchanges operate on outer-extended arrays
+    # whose extension validity is symmetric across the inner axis, so
+    # received halo slabs carry the same (in)validity as local rows.
+    if cad is not None:
+        order = sorted(zip(axis_names, dims), key=lambda t: -cad[t[0]])
+
+        def sweeps_n(arrs: dict, params: dict, n: int) -> dict:
+            if local_backend == "pallas":
+                from ..backend import pallas as pallas_backend
+
+                shape = tuple(next(iter(arrs.values())).shape)
+                pfn = pallas_backend.build_fn(
+                    program, grid_shape=shape, iterate=n,
+                    interpret=interpret)
+                return pfn(arrs, params)
+            out = dict(arrs)
+            for s in range(n):
+                ctx = EvalContext(
+                    program=program, xp=jnp,
+                    tap=lambda name, off: xla_backend.shifted_jnp(
+                        out[name], off),
+                    params=params, int_width=32)
+                for name in program.stage_order():
+                    t = program.tensors[name]
+                    v, vt = eval_expr(t.expr, ctx)
+                    out[name] = store_cast(ctx, v, vt, t.type)
+                if s + 1 < n:
+                    nxt = {n2: out[n2] for n2 in program.input_names}
+                    nxt[in_name] = out[out_names[0]]
+                    out = nxt
+            return out
+
+        def run_level(arrays: dict, level: int, sweeps: int,
+                      params: dict) -> dict:
+            if level == len(order):
+                res = sweeps_n(arrays, params, sweeps)
+                return {n: res[n] for n in out_names}
+            ax, d = order[level]
+            k = cad[ax]
+            lo, hi = -out_span[d][0] * k, out_span[d][1] * k
+            outs = None
+            for _ in range(sweeps // k):
+                if outs is None:
+                    cur = arrays
+                else:
+                    cur = {n: arrays[n] for n in program.input_names}
+                    cur[in_name] = outs[out_names[0]]
+                ext = {n: halo_exchange(x, d, lo, hi, ax)
+                       for n, x in cur.items()}
+                res = run_level(ext, level + 1, k, params)
+                outs = {n: (jax.lax.slice_in_dim(
+                            res[n], lo, res[n].shape[d] - hi, axis=d)
+                            if lo or hi else res[n])
+                        for n in out_names}
+            return outs
+
+        def local_fn_nested(inputs: dict, params: dict) -> dict:
+            arrays = {
+                n: jnp.asarray(inputs[n],
+                               jnp.float32
+                               if program.tensors[n].type.is_float
+                               else jnp.int32)
+                for n in program.input_names}
+            return run_level(arrays, 0, it, params)
+
+        local_fn = local_fn_nested
+
     sharded = jax.shard_map(
         local_fn,
         mesh=mesh,
@@ -322,11 +508,13 @@ def run_sharded(
     axis_sizes: Sequence[int] | None = None,
     dims: Sequence[int] | None = None,
     iterate: int | None = None,
-    sweeps_per_exchange: int | None = None,
+    sweeps_per_exchange: int | Mapping[str, int] | None = None,
     local_backend: str = "xla",
     interpret: bool = False,
     overlap: bool = False,
     jit: bool = True,
+    link_classes: Mapping[str, str] | None = None,
+    axis_names: Sequence[str] | None = None,
 ):
     """Convenience wrapper: shard inputs over a mesh, run, gather numpy."""
     import numpy as np
@@ -335,12 +523,14 @@ def run_sharded(
 
     _check_io(program, inputs, params or {})
     if mesh is None:
-        mesh = make_mesh(axis_sizes or [len(jax.devices())])
+        mesh = make_mesh(axis_sizes or [len(jax.devices())],
+                         axis_names=axis_names)
     grid_shape = tuple(np.asarray(next(iter(inputs.values()))).shape)
     fn = build_sharded_fn(
         program, mesh, dims=dims, iterate=iterate,
         sweeps_per_exchange=sweeps_per_exchange, grid_shape=grid_shape,
-        local_backend=local_backend, interpret=interpret, overlap=overlap)
+        local_backend=local_backend, interpret=interpret, overlap=overlap,
+        link_classes=link_classes)
     if jit:
         fn = jax.jit(fn)
     from ..backend.pallas import finalize_outputs

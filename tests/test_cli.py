@@ -60,6 +60,25 @@ def test_mesh_run(capsys):
     assert "PASS" in out
 
 
+def test_mesh_run_named_axes_dcn(capsys):
+    """Named mesh axes with a DCN slice axis + per-axis exchange cadence."""
+    rc = main([str(SODA / "jacobi2d.soda"), "--grid-shape", "64,64",
+               "--run", "--mesh", "dcn:2,x:4",
+               "--sweeps-per-exchange", "4,2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PASS" in out
+
+
+def test_mesh_run_named_axes_auto_cadence(capsys):
+    """DCN axis with no explicit cadence: modeled auto choice."""
+    rc = main([str(SODA / "jacobi2d.soda"), "--grid-shape", "64,64",
+               "--run", "--mesh", "dcn:2,x:4"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PASS" in out
+
+
 def test_cli_override_beats_dsl(capsys, tmp_path):
     f = tmp_path / "plan.json"
     rc = main([str(SODA / "jacobi2d.soda"), "--grid-shape", "64,64",

@@ -264,3 +264,86 @@ def test_sharded_aux_input_unaligned_grid():
     got = run_sharded(p, {"u": u, "f": f}, axis_sizes=[2], dims=[1],
                       local_backend="pallas", interpret=True)
     check(p, got, gold)
+
+
+# ---- multi-slice (DCN) meshes: per-axis exchange cadence ----------------
+
+
+def test_nested_cadence_explicit():
+    """Round 2 (TODO 'multi-slice DCN'): a 2x4 mesh with per-axis exchange
+    cadences (dcn every 4 sweeps, ici every 2) matches the oracle; the
+    nested schedule exchanges the slow axis's deeper halo less often."""
+    p = parse_file(SODA / "jacobi2d.soda")
+    x = rng.standard_normal((64, 96)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    mesh = make_mesh([2, 4], ["dcn", "x"])
+    got = run_sharded(p, {"t0": x}, mesh=mesh,
+                      sweeps_per_exchange={"dcn": 4, "x": 2})
+    check(p, got, gold)
+
+
+def test_nested_cadence_pallas_local():
+    """Nested cadence with the Pallas local backend (interpret mode)."""
+    p = parse_file(SODA / "jacobi2d.soda")
+    x = rng.standard_normal((64, 96)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    mesh = make_mesh([2, 4], ["dcn", "x"])
+    got = run_sharded(p, {"t0": x}, mesh=mesh,
+                      sweeps_per_exchange={"dcn": 8, "x": 2},
+                      local_backend="pallas", interpret=True)
+    check(p, got, gold)
+
+
+def test_nested_cadence_aux_input():
+    """Nested cadence with an auxiliary (non-feedback) iterate input."""
+    p = parse_file(SODA / "denoise2p.soda")
+    u = rng.standard_normal((64, 64)).astype(np.float32)
+    f = rng.standard_normal((64, 64)).astype(np.float32)
+    gold = numpy_interp.run(p, {"u": u, "f": f}, iterate=4)
+    mesh = make_mesh([2, 2], ["dcn", "x"])
+    got = run_sharded(p, {"u": u, "f": f}, mesh=mesh, iterate=4,
+                      sweeps_per_exchange={"dcn": 4, "x": 2})
+    check(p, got, gold, rim=p.valid_rim(iterate=4))
+
+
+def test_auto_cadence_from_link_classes():
+    """link_classes auto-picks per-axis cadences from the modeled link
+    costs (DCN deeper than ICI on 3-D production shapes) and the sharded
+    run matches the oracle."""
+    from soda_tpu.parallel.mesh import choose_exchange_cadence
+
+    p = parse_file(SODA / "heat3d.soda")
+    mesh = make_mesh([2, 4], ["dcn", "x"])
+    cad = choose_exchange_cadence(
+        p, (512, 512, 512), mesh, (0, 1), 16,
+        {"dcn": "dcn", "x": "ici"})
+    assert cad["dcn"] > cad["x"], cad
+    assert cad["dcn"] % cad["x"] == 0  # divisor chain
+
+    x = rng.standard_normal((32, 32, 64)).astype(np.float32)
+    gold = numpy_interp.run(p, {"heat_in": x})
+    got = run_sharded(p, {"heat_in": x}, mesh=mesh,
+                      link_classes={"dcn": "dcn", "x": "ici"})
+    check(p, got, gold)
+
+
+def test_cadence_divisor_chain_rejected():
+    """Cadences that don't nest (3 vs 2) are rejected loudly."""
+    p = parse_file(SODA / "jacobi2d.soda")
+    x = rng.standard_normal((64, 96)).astype(np.float32)
+    mesh = make_mesh([2, 4], ["dcn", "x"])
+    with pytest.raises(ValueError, match="divisor chain"):
+        run_sharded(p, {"t0": x}, mesh=mesh, iterate=6,
+                    sweeps_per_exchange={"dcn": 3, "x": 2})
+
+
+def test_uniform_mapping_cadence_uses_flat_path():
+    """A per-axis mapping with EQUAL cadences collapses to the uniform
+    (single-level, overlap-capable) schedule and stays correct."""
+    p = parse_file(SODA / "jacobi2d.soda")
+    x = rng.standard_normal((64, 96)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    mesh = make_mesh([2, 4], ["dcn", "x"])
+    got = run_sharded(p, {"t0": x}, mesh=mesh,
+                      sweeps_per_exchange={"dcn": 2, "x": 2}, overlap=True)
+    check(p, got, gold)
