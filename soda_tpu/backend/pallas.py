@@ -54,6 +54,10 @@ def _lane_shift(a: jax.Array, off: int) -> jax.Array:
     Implemented as roll + iota mask rather than pad + slice: Mosaic lowers
     lane-dim pads of vectors with offset sublane layouts to an unsupported
     `tpu.concatenate`, while rotate + select is always legal."""
+    from ..interp.wide64 import W
+
+    if isinstance(a, W):  # 64-bit pair carrier: shift each plane
+        return a.map(lambda p: _lane_shift(p, off))
     if off == 0:
         return a
     n = a.shape[-1]
@@ -142,6 +146,9 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
     if g.sweeps == 1:
         # exact-extent evaluation: each stage computed once at
         # block+span extent; taps slice the parent's larger extent.
+        from ..interp import wide64
+
+        wide = wide64.program_is_wide(program)
         current_consumer: list[str] = [""]
 
         def tap(parent: str, off: tuple[int, ...]):
@@ -156,8 +163,16 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
             ) + (slice(None),)
             return _lane_shift(pv[sl], off[-1])
 
-        ctx = EvalContext(program=program, xp=jnp, tap=tap,
-                          params=params, int_width=32)
+        if wide:
+            # 64-bit pair carriers: the shared evaluator walks with the
+            # WideXP shim — oracle-width (64-bit) integer semantics and
+            # double-single f64 in-kernel (interp/wide64.py)
+            ctx = EvalContext(program=program, xp=wide64.WideXP(jnp),
+                              tap=tap, params=params, int_width=64,
+                              tpu_wide=True)
+        else:
+            ctx = EvalContext(program=program, xp=jnp, tap=tap,
+                              params=params, int_width=32)
         for name in g.stages:
             t = program.tensors[name]
             current_consumer[0] = name
@@ -173,7 +188,15 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
                     slice(-sp[d][0], -sp[d][0] + block[d])
                     for d in range(rank - 1)) + (slice(None),)
                 v = v[center]
-            ref[:] = v.astype(ref.dtype)
+            ty = program.tensors[name].type
+            if isinstance(ref, tuple):  # wide output: (lo, hi) plane refs
+                lo, hi = wide64.unwrap_planes(ty, v.astype(ty.np_dtype()))
+                ref[0][:] = lo.astype(ref[0].dtype)
+                ref[1][:] = hi.astype(ref[1].dtype)
+            elif wide:
+                ref[:] = v.astype(ref.dtype).a
+            else:
+                ref[:] = v.astype(ref.dtype)
     elif g.trapezoid:
         # trapezoid fused sweeps: Python-unrolled with exact SHRINKING
         # extents — sweep s (m = sweeps-1-s remaining) computes only
@@ -276,17 +299,42 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
 
 def _build_kernel(program: StencilProgram, g: GroupPlan):
     """Pallas kernel body for the windows strategy (windows read directly
-    from Element-indexed refs over host-padded arrays)."""
-    n_in = len(g.external_inputs)
+    from Element-indexed refs over host-padded arrays).  64-bit tensors
+    arrive/leave as TWO (lo, hi) plane refs and are evaluated as pair
+    carriers (interp/wide64.py)."""
+    from ..interp import wide64
+
     param_names = _group_params(program, g)
     n_par = len(param_names)
+    in_wide = [wide64.is_wide(program.tensors[n].type)
+               for n in g.external_inputs]
+    out_wide = [wide64.is_wide(program.tensors[n].type) for n in g.outputs]
+    n_in = sum(2 if w else 1 for w in in_wide)
 
     def kernel(*refs):
-        in_refs = refs[:n_in]
         par_refs = refs[n_in:n_in + n_par]
-        out_refs = refs[n_in + n_par:]
         params = _read_params(program, param_names, par_refs)
-        values = {name: ref[:] for name, ref in zip(g.external_inputs, in_refs)}
+        values = {}
+        i = 0
+        for name, w in zip(g.external_inputs, in_wide):
+            if w:
+                t = program.tensors[name].type
+                values[name] = wide64.wrap_planes(
+                    t, refs[i][:], refs[i + 1][:], jnp)
+                i += 2
+            else:
+                values[name] = refs[i][:]
+                i += 1
+        raw_out = refs[n_in + n_par:]
+        out_refs = []
+        j = 0
+        for w in out_wide:
+            if w:
+                out_refs.append((raw_out[j], raw_out[j + 1]))
+                j += 2
+            else:
+                out_refs.append(raw_out[j])
+                j += 1
         _eval_group(program, g, values, params, out_refs)
 
     return kernel
@@ -575,10 +623,16 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
             return _apply_rims(program, g, grid_shape, values, params, outs)
 
         return fn_hybrid
+    from ..interp import wide64
+
     rank = program.rank
     block = g.block
     X = grid_shape[-1]
     kernel = _build_kernel(program, g)
+
+    def _plane_dtype(name):
+        t = program.tensors[name].type
+        return jnp.float32 if t.is_float else jnp.uint32
 
     in_specs = []
     for name in g.external_inputs:
@@ -589,7 +643,11 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
         def imap(*gidx, _name=name):
             return tuple(gidx[d] * block[d] for d in range(rank - 1)) + (0,)
 
-        in_specs.append(pl.BlockSpec(bdims, imap, memory_space=pltpu.VMEM))
+        spec = pl.BlockSpec(bdims, imap, memory_space=pltpu.VMEM)
+        in_specs.append(spec)
+        if wide64.is_wide(program.tensors[name].type):
+            in_specs.append(pl.BlockSpec(bdims, imap,
+                                         memory_space=pltpu.VMEM))
 
     group_param_names = _group_params(program, g)
     for _ in group_param_names:
@@ -601,14 +659,19 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
         return tuple(gidx) + (0,)
 
     rounded = tuple(g.grid[d] * block[d] for d in range(rank - 1)) + (X,)
-    out_specs = [
-        pl.BlockSpec(out_block, out_imap, memory_space=pltpu.VMEM)
-        for _ in g.outputs
-    ]
-    out_shapes = [
-        jax.ShapeDtypeStruct(rounded, _io_dtype(program, o))
-        for o in g.outputs
-    ]
+    out_specs = []
+    out_shapes = []
+    out_wide = []
+    for o in g.outputs:
+        w = wide64.is_wide(program.tensors[o].type)
+        out_wide.append(w)
+        n_planes = 2 if w else 1
+        for _ in range(n_planes):
+            out_specs.append(pl.BlockSpec(out_block, out_imap,
+                                          memory_space=pltpu.VMEM))
+            out_shapes.append(jax.ShapeDtypeStruct(
+                rounded,
+                _plane_dtype(o) if w else _io_dtype(program, o)))
 
     call = pl.pallas_call(
         kernel,
@@ -626,18 +689,38 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
     )
 
     def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
+        import numpy as np
+
         ops = []
         for name in g.external_inputs:
-            x = jnp.asarray(values[name], _io_dtype(program, name))
-            ops.append(_pad_input(x, g.halo[name], block, g.grid, grid_shape, rank))
+            t = program.tensors[name].type
+            if wide64.is_wide(t):
+                # host split: 64-bit numpy value -> two 32-bit planes
+                lo, hi = wide64.split_planes(np.asarray(values[name]))
+                for plane in (lo, hi):
+                    ops.append(_pad_input(jnp.asarray(plane), g.halo[name],
+                                          block, g.grid, grid_shape, rank))
+            else:
+                x = jnp.asarray(values[name], _io_dtype(program, name))
+                ops.append(_pad_input(x, g.halo[name], block, g.grid,
+                                      grid_shape, rank))
         ops.extend(_param_ops(program, group_param_names, params))
         outs = call(*ops)
-        if len(g.outputs) == 1:
+        if not isinstance(outs, (tuple, list)):
             outs = (outs,)
         res = {}
-        for name, o in zip(g.outputs, outs):
-            sl = tuple(slice(0, grid_shape[d]) for d in range(rank - 1)) + (slice(None),)
-            res[name] = o[sl]
+        sl = tuple(slice(0, grid_shape[d]) for d in range(rank - 1)) \
+            + (slice(None),)
+        j = 0
+        for name, w in zip(g.outputs, out_wide):
+            if w:
+                res[name] = wide64.merge_planes(
+                    np.asarray(outs[j][sl]), np.asarray(outs[j + 1][sl]),
+                    program.tensors[name].type.np_dtype())
+                j += 2
+            else:
+                res[name] = outs[j][sl]
+                j += 1
         return res
 
     return fn
@@ -693,6 +776,17 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
         inner = build_fn(_lift_rank1(program), None, (1,) + base,
                          interpret=interpret, iterate=iterate, **plan_kwargs)
 
+        from ..interp.wide64 import program_is_wide
+
+        if program_is_wide(program):
+            import numpy as np
+
+            def fn1w(inputs, params):
+                ins2 = {k: np.asarray(v)[None, :] for k, v in inputs.items()}
+                return {k: v[0] for k, v in inner(ins2, params).items()}
+
+            return fn1w
+
         def fn1(inputs: Mapping[str, jax.Array],
                 params: Mapping[str, jax.Array]):
             ins2 = {k: jnp.asarray(v)[None, :] for k, v in inputs.items()}
@@ -734,28 +828,18 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
 
 def check_tpu_supported(program: StencilProgram) -> None:
     """Loud rejection of types the TPU compute path cannot represent
-    (the oracles support them; see ir/types.py docstring)."""
-    for n, t in program.tensors.items():
-        ty = t.type
-        if ty.is_int and ty.width > 32 and not t.synthetic:
-            # synthetic (compiler-generated) partial sums are typed int64
-            # only to keep the ORACLE exact when the value bound exceeds
-            # 2^31; the TPU path computes them at int32 — exactly the
-            # (documented) behavior of the unrewritten program — so tcse
-            # must not reduce TPU availability.  USER-declared 64-bit
-            # tensors stay rejected (including ones whose NAMES merely
-            # look compiler-generated).
-            raise NotImplementedError(
-                f"tensor {n!r} is {ty}: integer widths > 32 are not "
-                f"supported on the Pallas path (Mosaic is 32-bit); use "
-                f"--backend xla (64-bit wide mode, exact s64 on TPU) or "
-                f"the NumPy/C++ oracle backends")
+    (the oracles support them; see ir/types.py docstring).
+
+    Round 2: USER-declared 64-bit TENSORS are now supported in-kernel via
+    paired-32-bit carriers (interp/wide64.py — exact s64/u64, ~1e-14
+    double-single f64); 64-bit PARAMS remain unsupported (rare, and the
+    XLA x64 wide mode covers them)."""
     for p in program.params.values():
         if p.type.is_int and p.type.width > 32:
             raise NotImplementedError(
-                f"param {p.name!r} is {p.type}: integer widths > 32 are "
-                f"not supported on the Pallas path; use --backend xla or "
-                f"the oracles")
+                f"param {p.name!r} is {p.type}: integer widths > 32 for "
+                f"PARAMS are not supported on the Pallas path; use "
+                f"--backend xla (64-bit wide mode) or the oracles")
 
 
 def finalize_outputs(program: StencilProgram, outs) -> dict:
@@ -801,7 +885,15 @@ def run(program: StencilProgram, inputs, params=None, *,
         grid_shape = tuple(np.asarray(next(iter(inputs.values()))).shape)
     fn = build_fn(program, the_plan=the_plan, grid_shape=grid_shape,
                   interpret=interpret, iterate=iterate, **kw)
-    if jit:
-        fn = jax.jit(fn)
-    outs = fn({k: jnp.asarray(v) for k, v in inputs.items()}, params)
+    from ..interp.wide64 import program_is_wide
+
+    if program_is_wide(program):
+        # wide programs are host-driven: 64-bit arrays split/merge to
+        # 32-bit planes on the host around each kernel call, so the
+        # outer fn is not jittable (and jnp.asarray would truncate i64)
+        outs = fn({k: np.asarray(v) for k, v in inputs.items()}, params)
+    else:
+        if jit:
+            fn = jax.jit(fn)
+        outs = fn({k: jnp.asarray(v) for k, v in inputs.items()}, params)
     return finalize_outputs(program, outs)

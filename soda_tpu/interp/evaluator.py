@@ -39,6 +39,10 @@ class EvalContext:
     tap: Callable[[str, tuple[int, ...]], Any]  # materialize Ref
     params: dict[str, Any]
     int_width: int = 64                        # 64 for oracle, 32 for TPU
+    # TPU in-kernel wide mode (interp/wide64.WideXP shim): 64-bit values
+    # ride paired-32-bit carriers, but NARROW types keep the regular TPU
+    # semantics (f32 compute for half, int32 stage storage)
+    tpu_wide: bool = False
 
     def int_dtype(self, signed: bool = True):
         if self.int_width == 64:
@@ -57,6 +61,8 @@ class EvalContext:
 
     def float_dtype(self, width: int):
         if self.int_width == 32:  # TPU path: no f64
+            return self.xp.float32
+        if self.tpu_wide and width <= 32:  # TPU wide: half computes as f32
             return self.xp.float32
         return {16: self.xp.float16, 32: self.xp.float32, 64: self.xp.float64}[width]
 
@@ -322,5 +328,13 @@ def _storage_dtype(ctx: EvalContext, t: ScalarType):
         # TPU path computes uniformly in int32 (masking at stores preserves
         # semantics for widths <= 16; full-range uint32 is documented as
         # unsupported on the TPU path)
+        return xp.int32
+    if ctx.tpu_wide:
+        # in-kernel wide mode: 64-bit stays paired; narrow stages keep
+        # the regular TPU storage (int32/float32)
+        if t.is_float:
+            return xp.float64 if t.width == 64 else xp.float32
+        if t.width > 32:
+            return xp.int64 if t.is_signed else xp.uint64
         return xp.int32
     return t.np_dtype()

@@ -1,0 +1,868 @@
+"""64-bit arithmetic as pairs of 32-bit values — the TPU in-kernel wide mode.
+
+Mosaic (the Pallas TPU compiler) is a 32-bit machine: there are no i64/f64
+registers.  This module implements a small wrapped array language that
+carries
+
+  * ``int64``/``uint64`` as two uint32 limbs (lo, hi) with exact
+    two's-complement semantics — add/sub/mul/compare/shift/bitwise and a
+    64-step restoring long division, all BIT-EXACT vs the int64 oracle;
+  * ``double`` as a double-single (hi, lo) pair of float32 with
+    error-free transforms (Knuth two_sum, Dekker split/two_prod): +,-,*,/
+    and sqrt carry ~2^-47 relative accuracy (same class as the XLA
+    backend's f64-emulation wide mode, docs/SEMANTICS.md); transcendental
+    calls fall back to float32 accuracy on the hi component (documented).
+
+The evaluator (interp/evaluator.py) is already parameterized by an array
+namespace ``xp``; ``WideXP(jnp)`` plugs in as that namespace so the SAME
+typed walk that serves NumPy/XLA/Pallas now emits paired-limb code inside
+Pallas kernels.  Values flow as ``W`` wrappers: rep "p" = plain 32-bit
+array, rep "i"/"u" = int64/uint64 limb pair, rep "d" = double-single.
+``W.astype`` accepts ordinary numpy dtypes — np.int64/np.uint64/np.float64
+select the pair reps — so the evaluator's dtype plumbing works unchanged.
+
+Reference parity: gives `ap_int<33..64>`, `ap_uint<33..64>` and `double`
+(SURVEY.md §2.4 type surface) a genuine in-kernel TPU compute path; the
+XLA backend's x64 wide mode remains the whole-program alternative.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK32 = np.uint32(0xFFFFFFFF)
+_SIGNBIT = 0x80000000
+_SPLIT = np.float32(4097.0)  # 2^12 + 1: Dekker split constant for f32
+
+
+def _u32(xp, v):
+    return xp.asarray(v).astype(np.uint32)
+
+
+class W:
+    """A wrapped value: plain 32-bit array, 64-bit limb pair, or
+    double-single float pair."""
+
+    __slots__ = ("rep", "a", "b", "xp")
+    __array_priority__ = 200  # beat numpy's operator dispatch
+
+    def __init__(self, rep: str, a, b=None, xp=None):
+        self.rep = rep  # "p" plain | "i" int64 | "u" uint64 | "d" ds-f64
+        self.a = a      # plain array | lo limb (u32) | ds hi (f32)
+        self.b = b      # None        | hi limb (u32) | ds lo (f32)
+        self.xp = xp
+
+    # ---- constructors -----------------------------------------------------
+
+    @staticmethod
+    def plain(x, xp):
+        return W("p", x, None, xp)
+
+    @staticmethod
+    def from_int_scalar(v: int, rep: str, xp):
+        v64 = int(v) & 0xFFFFFFFFFFFFFFFF
+        return W(rep, _u32(xp, np.uint32(v64 & 0xFFFFFFFF)),
+                 _u32(xp, np.uint32(v64 >> 32)), xp)
+
+    @staticmethod
+    def ds_from_float(v: float, xp):
+        hi = np.float32(v)
+        lo = np.float32(np.float64(v) - np.float64(hi))
+        return W("d", xp.asarray(hi), xp.asarray(lo), xp)
+
+    # ---- shape plumbing (windows/taps slice wrapped values) ---------------
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    @property
+    def dtype(self):
+        if self.rep == "i":
+            return np.dtype(np.int64)
+        if self.rep == "u":
+            return np.dtype(np.uint64)
+        if self.rep == "d":
+            return np.dtype(np.float64)
+        return self.a.dtype
+
+    def map(self, f):
+        """Apply an array->array function to every component (slicing,
+        lane shifts, padding — geometry only, value-preserving)."""
+        return W(self.rep, f(self.a),
+                 None if self.b is None else f(self.b), self.xp)
+
+    def __getitem__(self, sl):
+        return self.map(lambda x: x[sl])
+
+    # ---- rep conversion ----------------------------------------------------
+
+    def astype(self, dtype):
+        d = np.dtype(dtype) if not isinstance(dtype, str) else np.dtype(dtype)
+        xp = self.xp
+        if d == np.int64 or d == np.uint64:
+            rep = "i" if d == np.int64 else "u"
+            if self.rep in ("i", "u"):
+                return W(rep, self.a, self.b, xp)
+            if self.rep == "d":
+                return _ds_to_pair(self, rep)
+            return _plain_to_pair(self, rep)
+        if d == np.float64:
+            if self.rep == "d":
+                return self
+            if self.rep in ("i", "u"):
+                return _pair_to_ds(self)
+            a = self.a
+            if a.dtype == np.bool_:
+                a = a.astype(np.float32)
+            return W("d", a.astype(np.float32),
+                     xp.zeros_like(a, np.float32), xp)
+        # narrow target: materialize a plain array
+        if self.rep in ("i", "u"):
+            if np.dtype(d).kind == "f":
+                ds = _pair_to_ds(self)
+                return W.plain((ds.a + ds.b).astype(d), xp)
+            return W.plain(self.a.astype(d), xp)  # truncate to low limb
+        if self.rep == "d":
+            if np.dtype(d).kind == "f":
+                return W.plain(self.a.astype(d), xp)
+            p = _ds_to_pair(self, "i")
+            return W.plain(p.a.astype(d), xp)
+        return W.plain(self.a.astype(d), xp)
+
+    # ---- arithmetic --------------------------------------------------------
+
+    def _lift(self, other):
+        """Coerce (self, other) to a common rep."""
+        xp = self.xp
+        if not isinstance(other, W):
+            if isinstance(other, (bool, np.bool_)):
+                other = W.plain(xp.asarray(other), xp)
+            elif isinstance(other, (int, np.integer)):
+                if self.rep in ("i", "u"):
+                    other = W.from_int_scalar(int(other), self.rep, xp)
+                elif self.rep == "d":
+                    other = W.ds_from_float(float(other), xp)
+                else:
+                    other = W.plain(xp.asarray(other, self.a.dtype), xp)
+            elif isinstance(other, (float, np.floating)):
+                if self.rep == "d":
+                    other = W.ds_from_float(float(other), xp)
+                else:
+                    other = W.plain(xp.asarray(other), xp)
+            else:
+                other = W.plain(xp.asarray(other), xp)
+        a, b = self, other
+        order = {"p": 0, "i": 1, "u": 2, "d": 3}
+        if order[b.rep] > order[a.rep]:
+            a = a.astype({"i": np.int64, "u": np.uint64,
+                          "d": np.float64}[b.rep])
+        elif order[a.rep] > order[b.rep] and b.rep != a.rep:
+            b = b.astype({"i": np.int64, "u": np.uint64,
+                          "d": np.float64}[a.rep])
+        return a, b
+
+    def __add__(self, other):
+        a, b = self._lift(other)
+        if a.rep == "p":
+            return W.plain(a.a + b.a, a.xp)
+        if a.rep == "d":
+            return _ds_add(a, b)
+        return _pair_add(a, b)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        a, b = self._lift(other)
+        if a.rep == "p":
+            return W.plain(a.a - b.a, a.xp)
+        if a.rep == "d":
+            return _ds_add(a, _ds_neg(b))
+        return _pair_add(a, _pair_neg(b))
+
+    def __rsub__(self, other):
+        a, b = self._lift(other)
+        return b - a
+
+    def __mul__(self, other):
+        a, b = self._lift(other)
+        if a.rep == "p":
+            return W.plain(a.a * b.a, a.xp)
+        if a.rep == "d":
+            return _ds_mul(a, b)
+        return _pair_mul(a, b)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        a, b = self._lift(other)
+        if a.rep == "p":
+            return W.plain(a.a / b.a, a.xp)
+        if a.rep == "d":
+            return _ds_div(a, b)
+        raise TypeError("use floor_divide/_c_div for integer pairs")
+
+    def __neg__(self):
+        if self.rep == "p":
+            return W.plain(-self.a, self.xp)
+        if self.rep == "d":
+            return _ds_neg(self)
+        return _pair_neg(self)
+
+    def __pos__(self):
+        return self
+
+    # comparisons return PLAIN boolean arrays
+    def _cmp(self, other, op):
+        a, b = self._lift(other)
+        xp = a.xp
+        if a.rep == "p":
+            import operator
+            v = getattr(operator, op)(a.a, b.a)
+            return W.plain(v, xp)
+        if a.rep == "d":
+            lt = (a.a < b.a) | ((a.a == b.a) & (a.b < b.b))
+            eq = (a.a == b.a) & (a.b == b.b)
+        else:
+            ah, bh = a.b, b.b
+            if a.rep == "i":  # signed compare: flip the sign bit
+                ah = ah ^ np.uint32(_SIGNBIT)
+                bh = bh ^ np.uint32(_SIGNBIT)
+            lt = (ah < bh) | ((ah == bh) & (a.a < b.a))
+            eq = (a.b == b.b) & (a.a == b.a)
+        v = {"lt": lt, "le": lt | eq, "eq": eq, "ne": ~eq,
+             "gt": ~(lt | eq), "ge": ~lt}[op]
+        return W.plain(v, xp)
+
+    def __lt__(self, other):
+        return self._cmp(other, "lt")
+
+    def __le__(self, other):
+        return self._cmp(other, "le")
+
+    def __gt__(self, other):
+        return self._cmp(other, "gt")
+
+    def __ge__(self, other):
+        return self._cmp(other, "ge")
+
+    def __eq__(self, other):  # noqa: A003 - array-style equality
+        return self._cmp(other, "eq")
+
+    def __ne__(self, other):
+        return self._cmp(other, "ne")
+
+    __hash__ = None
+
+    def __and__(self, other):
+        a, b = self._lift(other)
+        if a.rep == "p":
+            return W.plain(a.a & b.a, a.xp)
+        return W(a.rep, a.a & b.a, a.b & b.b, a.xp)
+
+    __rand__ = __and__
+
+    def __or__(self, other):
+        a, b = self._lift(other)
+        if a.rep == "p":
+            return W.plain(a.a | b.a, a.xp)
+        return W(a.rep, a.a | b.a, a.b | b.b, a.xp)
+
+    __ror__ = __or__
+
+    def __xor__(self, other):
+        a, b = self._lift(other)
+        if a.rep == "p":
+            return W.plain(a.a ^ b.a, a.xp)
+        return W(a.rep, a.a ^ b.a, a.b ^ b.b, a.xp)
+
+    __rxor__ = __xor__
+
+    def __invert__(self):
+        if self.rep == "p":
+            return W.plain(~self.a, self.xp)
+        return W(self.rep, ~self.a, ~self.b, self.xp)
+
+
+# ---- integer pair primitives (uint32 limbs, two's complement) -------------
+
+
+def _pair_add(a: W, b: W) -> W:
+    xp = a.xp
+    lo = a.a + b.a
+    carry = (lo < a.a).astype(np.uint32)
+    hi = a.b + b.b + carry
+    return W(a.rep, lo, hi, xp)
+
+
+def _pair_neg(a: W) -> W:
+    xp = a.xp
+    lo = (~a.a) + np.uint32(1)
+    carry = (lo == 0).astype(np.uint32)  # only -0 wraps
+    hi = (~a.b) + carry
+    return W(a.rep, lo, hi, xp)
+
+
+def _mul32_wide(xp, a, b):
+    """32x32 -> (lo32, hi32) via 16-bit half products (no widening mul on
+    the VPU)."""
+    a0 = a & np.uint32(0xFFFF)
+    a1 = a >> np.uint32(16)
+    b0 = b & np.uint32(0xFFFF)
+    b1 = b >> np.uint32(16)
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = (p00 >> np.uint32(16)) + (p01 & np.uint32(0xFFFF)) \
+        + (p10 & np.uint32(0xFFFF))
+    lo = (p00 & np.uint32(0xFFFF)) | (mid << np.uint32(16))
+    hi = p11 + (p01 >> np.uint32(16)) + (p10 >> np.uint32(16)) \
+        + (mid >> np.uint32(16))
+    return lo, hi
+
+
+def _pair_mul(a: W, b: W) -> W:
+    """Low 64 bits of the product (two's complement: same for i64/u64)."""
+    xp = a.xp
+    lo, hi = _mul32_wide(xp, a.a, b.a)
+    hi = hi + a.a * b.b + a.b * b.a  # wrapping low-32 products
+    return W(a.rep, lo, hi, xp)
+
+
+def _pair_is_neg(a: W):
+    return (a.b & np.uint32(_SIGNBIT)) != 0
+
+
+def _pair_abs(a: W) -> W:
+    neg = _pair_is_neg(a)
+    n = _pair_neg(a)
+    return _pair_select(a.xp, neg, n, a)
+
+
+def _pair_select(xp, c, a: W, b: W) -> W:
+    return W(a.rep, xp.where(c, a.a, b.a), xp.where(c, a.b, b.b), a.xp)
+
+
+def _pair_shl(a: W, s) -> W:
+    """Left shift by a scalar/array amount s in [0, 64)."""
+    xp = a.xp
+    s = xp.asarray(s).astype(np.uint32)
+    s_ = s & np.uint32(31)
+    big = s >= np.uint32(32)
+    # shift within limbs by s_ (s_ == 0 handled: hi gets lo >> 32 -> 0 via
+    # the two-step (31, 1) split to avoid UB-style full-width shifts)
+    lo_s = a.a << s_
+    spill = xp.where(s_ == 0, xp.zeros_like(a.a),
+                     a.a >> (np.uint32(32) - xp.where(s_ == 0,
+                                                      np.uint32(1), s_)))
+    hi_s = (a.b << s_) | spill
+    lo = xp.where(big, xp.zeros_like(lo_s), lo_s)
+    hi = xp.where(big, a.a << s_, hi_s)
+    return W(a.rep, lo, hi, xp)
+
+
+def _pair_shr(a: W, s) -> W:
+    """Right shift by amount in [0, 64): logical for u64, arithmetic for
+    i64."""
+    xp = a.xp
+    s = xp.asarray(s).astype(np.uint32)
+    s_ = s & np.uint32(31)
+    big = s >= np.uint32(32)
+    arith = a.rep == "i"
+    spill = xp.where(s_ == 0, xp.zeros_like(a.b),
+                     a.b << (np.uint32(32) - xp.where(s_ == 0,
+                                                      np.uint32(1), s_)))
+    lo_small = (a.a >> s_) | spill
+    if arith:
+        hi_i = a.b.astype(np.int32)
+        hi_small = (hi_i >> s_).astype(np.uint32)
+        hi_big = (hi_i >> np.uint32(31)).astype(np.uint32)  # sign fill
+        lo_big = (hi_i >> s_).astype(np.uint32)
+    else:
+        hi_small = a.b >> s_
+        hi_big = xp.zeros_like(a.b)
+        lo_big = a.b >> s_
+    lo = xp.where(big, lo_big, lo_small)
+    hi = xp.where(big, hi_big, hi_small)
+    return W(a.rep, lo, hi, xp)
+
+
+def _pair_divmod_unsigned(a: W, b: W):
+    """Restoring long division on unsigned pairs: 64 statically-unrolled
+    steps (exact; used only by programs that divide 64-bit values)."""
+    xp = a.xp
+    zero = xp.zeros_like(a.a)
+    q = W("u", zero, zero, xp)
+    r = W("u", zero, zero, xp)
+    for i in range(63, -1, -1):
+        # r = (r << 1) | bit_i(a)
+        bit = ((a.a if i < 32 else a.b) >> np.uint32(i & 31)) & np.uint32(1)
+        r = _pair_shl(r, 1)
+        r = W("u", r.a | bit, r.b, xp)
+        ge = ~(r._cmp(b, "lt").a)
+        r = _pair_select(xp, ge, _pair_add(r, _pair_neg(b)), r)
+        if i < 32:
+            q = W("u", q.a | (ge.astype(np.uint32) << np.uint32(i)), q.b, xp)
+        else:
+            q = W("u", q.a,
+                  q.b | (ge.astype(np.uint32) << np.uint32(i & 31)), xp)
+    return q, r
+
+
+def _pair_floordiv(a: W, b: W) -> W:
+    xp = a.xp
+    if a.rep == "u":
+        q, _ = _pair_divmod_unsigned(a, b)
+        return W("u", q.a, q.b, xp)
+    qa, ra = _pair_abs(a), _pair_abs(b)
+    q, r = _pair_divmod_unsigned(W("u", qa.a, qa.b, xp),
+                                 W("u", ra.a, ra.b, xp))
+    neg = _pair_is_neg(a) != _pair_is_neg(b)
+    nz = (r.a != 0) | (r.b != 0)
+    qs = _pair_select(xp, neg, _pair_neg(q), q)
+    # floor: negative quotient with remainder rounds away from zero
+    qfix = _pair_add(qs, W.from_int_scalar(-1, "i", xp))
+    out = _pair_select(xp, neg & nz, qfix, qs)
+    return W("i", out.a, out.b, xp)
+
+
+# ---- double-single (f32 pair) primitives -----------------------------------
+
+
+def _two_sum(xp, a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _split(xp, a):
+    c = _SPLIT * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(xp, a, b):
+    p = a * b
+    a1, a2 = _split(xp, a)
+    b1, b2 = _split(xp, b)
+    err = ((a1 * b1 - p) + a1 * b2 + a2 * b1) + a2 * b2
+    return p, err
+
+
+def _ds_norm(xp, hi, lo):
+    s, e = _two_sum(xp, hi, lo)
+    return s, e
+
+
+def _quick_two_sum(xp, a, b):
+    """two_sum when |a| >= |b| is guaranteed."""
+    s = a + b
+    return s, b - (s - a)
+
+
+def _ds_add(a: W, b: W) -> W:
+    """Accurate double-double add (two two_sums + renorm, ~2 ulp)."""
+    xp = a.xp
+    s1, s2 = _two_sum(xp, a.a, b.a)
+    t1, t2 = _two_sum(xp, a.b, b.b)
+    s2 = s2 + t1
+    s1, s2 = _quick_two_sum(xp, s1, s2)
+    s2 = s2 + t2
+    hi, lo = _quick_two_sum(xp, s1, s2)
+    return W("d", hi, lo, xp)
+
+
+def _ds_neg(a: W) -> W:
+    return W("d", -a.a, -a.b, a.xp)
+
+
+def _ds_mul(a: W, b: W) -> W:
+    xp = a.xp
+    p, e = _two_prod(xp, a.a, b.a)
+    e = e + (a.a * b.b + a.b * b.a)
+    hi, lo = _ds_norm(xp, p, e)
+    return W("d", hi, lo, xp)
+
+
+def _ds_div(a: W, b: W) -> W:
+    xp = a.xp
+    q1 = a.a / b.a
+    # r = a - b*q1 (DS)
+    p, e = _two_prod(xp, b.a, q1)
+    r = _ds_add(a, W("d", -p, -(e + b.b * q1), xp))
+    q2 = (r.a + r.b) / b.a
+    hi, lo = _ds_norm(xp, q1, q2)
+    return W("d", hi, lo, xp)
+
+
+def _ds_sqrt(a: W) -> W:
+    xp = a.xp
+    s = xp.sqrt(a.a)
+    p, e = _two_prod(xp, s, s)
+    # one Newton step in DS: s + (a - s*s)/(2 s)
+    d = _ds_add(a, W("d", -p, -e, xp))
+    corr = (d.a + d.b) / (2.0 * s)
+    hi, lo = _ds_norm(xp, s, corr)
+    # sqrt(0) guard: 0/0 -> nan; exact zero stays zero
+    z = a.a == 0.0
+    return W("d", xp.where(z, xp.zeros_like(hi), hi),
+             xp.where(z, xp.zeros_like(lo), lo), xp)
+
+
+def _ds_lt(a: W, b: W):
+    return (a.a < b.a) | ((a.a == b.a) & (a.b < b.b))
+
+
+def _ds_trunc(a: W) -> W:
+    xp = a.xp
+    th = xp.trunc(a.a)
+    tl = xp.trunc(a.b)
+    # when hi is integral the fraction lives in lo; otherwise lo's sign
+    # can still carry the value across the integer boundary of trunc(hi)
+    # (e.g. hi = n + eps, lo < -eps -> true trunc is n-1), so correct by
+    # one toward the true value afterwards
+    frac_in_lo = th == a.a
+    hi2, lo2 = _two_sum(xp, th, xp.where(frac_in_lo, tl,
+                                         xp.zeros_like(tl)))
+    t = W("d", hi2, lo2, xp)
+    one = W("d", xp.asarray(np.float32(1.0)),
+            xp.asarray(np.float32(0.0)), xp)
+    pos = a.a >= 0
+    down = _ds_add(t, _ds_neg(one))
+    up = _ds_add(t, one)
+    # candidate is within 1 of the true trunc; one conditional step fixes
+    # it: positive x wants floor (t>x -> down, t+1<=x -> up), negative
+    # wants ceil (t<x -> up, t-1>=x -> down)
+    step_down = (pos & _ds_lt(a, t)) | ((~pos) & ~_ds_lt(down, a))
+    step_up = ((~pos) & _ds_lt(t, a)) | (pos & ~_ds_lt(a, up))
+    hi3 = xp.where(step_down, down.a, xp.where(step_up, up.a, t.a))
+    lo3 = xp.where(step_down, down.b, xp.where(step_up, up.b, t.b))
+    return W("d", hi3, lo3, xp)
+
+
+def _pair_to_ds(a: W) -> W:
+    """64-bit pair -> double-single, accurate to the DS ulp (~2^-48 rel):
+    the magnitude is decomposed into four EXACT <=16-bit f32 components
+    (each chunk*2^k is exactly representable) accumulated with the
+    accurate DS add."""
+    xp = a.xp
+    neg = _pair_is_neg(a) if a.rep == "i" else None
+    m = _pair_abs(a) if a.rep == "i" else a
+    c16 = np.uint32(0xFFFF)
+    parts = [
+        ((m.b >> np.uint32(16)).astype(np.float32),
+         np.float32(2.0 ** 48)),
+        ((m.b & c16).astype(np.float32), np.float32(2.0 ** 32)),
+        ((m.a >> np.uint32(16)).astype(np.float32),
+         np.float32(2.0 ** 16)),
+        ((m.a & c16).astype(np.float32), np.float32(1.0)),
+    ]
+    acc = W("d", parts[0][0] * parts[0][1],
+            xp.zeros_like(parts[0][0]), xp)
+    for chunk, scale in parts[1:]:
+        acc = _ds_add(acc, W("d", chunk * scale,
+                             xp.zeros_like(chunk), xp))
+    if neg is not None:
+        acc = W("d", xp.where(neg, -acc.a, acc.a),
+                xp.where(neg, -acc.b, acc.b), xp)
+    return acc
+
+
+def _f32_int_to_u32(xp, f):
+    """Exact u32 of an integral f32 value in [0, 2^32) (the value may
+    exceed int32 range, and f32->u32 of 2^31.. is fine; split at 2^16 so
+    each converted chunk fits 24-bit-exact f32 -> u32)."""
+    two16 = np.float32(65536.0)
+    top = xp.floor(f / two16)
+    bot = f - top * two16  # exact (common ulp)
+    return (top.astype(np.uint32) << np.uint32(16)) + bot.astype(np.uint32)
+
+
+def _ds_to_pair(a: W, rep: str) -> W:
+    """trunc(double) -> 64-bit pair.  The integral DS magnitude is split
+    exactly: q = floor(m / 2^32) and r = m - q*2^32 in DS (power-of-two
+    scaling and the subtraction are error-free), then each integral DS
+    component converts exactly through 16-bit chunks."""
+    xp = a.xp
+    t = _ds_trunc(a)
+    neg = (t.a < 0) | ((t.a == 0) & (t.b < 0))
+    m = W("d", xp.where(neg, -t.a, t.a), xp.where(neg, -t.b, t.b), xp)
+    inv32 = np.float32(2.0 ** -32)
+    two32 = np.float32(4294967296.0)
+    q = _ds_trunc(W("d", m.a * inv32, m.b * inv32, xp))
+    r = _ds_add(m, W("d", -(q.a * two32), -(q.b * two32), xp))
+    # r in [0, 2^32): components are integral f32s summing exactly to r
+    lo = _f32_int_to_u32(xp, r.a) + r.b.astype(np.int32).astype(np.uint32)
+    hi = _f32_int_to_u32(xp, q.a) + q.b.astype(np.int32).astype(np.uint32)
+    out = W(rep, lo, hi, xp)
+    return _pair_select(xp, neg, _pair_neg(out), out)
+
+
+def _plain_to_pair(v: W, rep: str) -> W:
+    """Widen a plain 32-bit (or narrower) array into a limb pair:
+    sign-extend signed sources, zero-extend unsigned/bool."""
+    xp = v.xp
+    a = v.a
+    if a.dtype == np.bool_:
+        a = a.astype(np.uint32)
+    if np.dtype(a.dtype).kind == "f":
+        return _ds_to_pair(W("d", a.astype(np.float32),
+                             xp.zeros_like(a, np.float32), xp), rep)
+    signed_src = np.dtype(a.dtype).kind == "i"
+    lo = a.astype(np.int32).astype(np.uint32) if signed_src \
+        else a.astype(np.uint32)
+    if signed_src:
+        hi = (a.astype(np.int32) >> np.uint32(31)).astype(np.uint32)
+    else:
+        hi = xp.zeros_like(lo)
+    return W(rep, lo, hi, xp)
+
+
+# ---- the xp shim ------------------------------------------------------------
+
+
+class WideXP:
+    """numpy-like namespace over W values, backed by `base` (numpy or
+    jax.numpy).  Exposes exactly the function surface the shared evaluator
+    and the Pallas group evaluator use."""
+
+    int64 = np.int64
+    uint64 = np.uint64
+    float64 = np.float64
+    int32 = np.int32
+    uint32 = np.uint32
+    float32 = np.float32
+    float16 = np.float16
+
+    def __init__(self, base):
+        self.base = base
+
+    # -- construction / conversion
+    def asarray(self, v, dtype=None):
+        if isinstance(v, W):
+            return v.astype(dtype) if dtype is not None else v
+        if dtype is not None and np.dtype(dtype) in (np.dtype(np.int64),
+                                                     np.dtype(np.uint64)):
+            if isinstance(v, (int, np.integer)):
+                rep = "i" if np.dtype(dtype) == np.dtype(np.int64) else "u"
+                return W.from_int_scalar(int(v), rep, self.base)
+            return W.plain(self.base.asarray(v), self.base).astype(dtype)
+        if dtype is not None and np.dtype(dtype) == np.dtype(np.float64):
+            if isinstance(v, (float, int, np.floating, np.integer)):
+                return W.ds_from_float(float(v), self.base)
+            return W.plain(self.base.asarray(v), self.base).astype(dtype)
+        x = self.base.asarray(v) if dtype is None \
+            else self.base.asarray(v, dtype)
+        return W.plain(x, self.base)
+
+    def zeros_like(self, v):
+        if isinstance(v, W):
+            return v.map(self.base.zeros_like)
+        return W.plain(self.base.zeros_like(v), self.base)
+
+    def _plain(self, v):
+        return v.a if isinstance(v, W) and v.rep == "p" else v
+
+    # -- selection
+    def where(self, c, a, b):
+        c = self._plain(c)
+        if not isinstance(a, W):
+            a = self.asarray(a)
+        a, b = a._lift(b)
+        if a.rep == "p":
+            return W.plain(self.base.where(c, a.a, b.a), self.base)
+        return W(a.rep, self.base.where(c, a.a, b.a),
+                 self.base.where(c, a.b, b.b), self.base)
+
+    def minimum(self, a, b):
+        if not isinstance(a, W):
+            a = self.asarray(a)
+        a2, b2 = a._lift(b)
+        if a2.rep == "p":
+            return W.plain(self.base.minimum(a2.a, b2.a), self.base)
+        return self.where(a2._cmp(b2, "le"), a2, b2)
+
+    def maximum(self, a, b):
+        if not isinstance(a, W):
+            a = self.asarray(a)
+        a2, b2 = a._lift(b)
+        if a2.rep == "p":
+            return W.plain(self.base.maximum(a2.a, b2.a), self.base)
+        return self.where(a2._cmp(b2, "ge"), a2, b2)
+
+    def abs(self, a):
+        if a.rep == "p":
+            return W.plain(self.base.abs(a.a), self.base)
+        if a.rep == "d":
+            neg = a.a < 0
+            return W("d", self.base.where(neg, -a.a, a.a),
+                     self.base.where(neg, -a.b, a.b), self.base)
+        if a.rep == "u":
+            return a
+        return _pair_abs(a)
+
+    # -- integer ops the evaluator calls
+    def floor_divide(self, a, b):
+        a, b = a._lift(b) if isinstance(a, W) else self.asarray(a)._lift(b)
+        if a.rep == "p":
+            return W.plain(self.base.floor_divide(a.a, b.a), self.base)
+        if a.rep == "d":
+            return _ds_trunc(_ds_div(a, b))  # only via _c_div on ints
+        return _pair_floordiv(a, b)
+
+    def left_shift(self, a, s):
+        if a.rep == "p":
+            return W.plain(self.base.left_shift(a.a, self._plain(s)),
+                           self.base)
+        sv = s.a if isinstance(s, W) else s
+        return _pair_shl(a, sv)
+
+    def right_shift(self, a, s):
+        if a.rep == "p":
+            return W.plain(self.base.right_shift(a.a, self._plain(s)),
+                           self.base)
+        sv = s.a if isinstance(s, W) else s
+        return _pair_shr(a, sv)
+
+    def bitwise_and(self, a, b):
+        if not isinstance(a, W):
+            a = self.asarray(a)
+        return a & b
+
+    def bitwise_or(self, a, b):
+        if not isinstance(a, W):
+            a = self.asarray(a)
+        return a | b
+
+    def bitwise_xor(self, a, b):
+        if not isinstance(a, W):
+            a = self.asarray(a)
+        return a ^ b
+
+    def bitwise_not(self, a):
+        return ~a
+
+    # -- float ops
+    def sqrt(self, a):
+        if a.rep == "d":
+            return _ds_sqrt(a)
+        return W.plain(self.base.sqrt(a.a), self.base)
+
+    def trunc(self, a):
+        if a.rep == "d":
+            return _ds_trunc(a)
+        return W.plain(self.base.trunc(a.a), self.base)
+
+    def floor(self, a):
+        if a.rep == "d":
+            t = _ds_trunc(a)
+            gt = _ds_lt(a, t)  # trunc > x happens only for x < 0
+            one = W.ds_from_float(1.0, self.base)
+            return self.where(W.plain(gt, self.base),
+                              _ds_add(t, _ds_neg(one)), t)
+        return W.plain(self.base.floor(a.a), self.base)
+
+    def ceil(self, a):
+        if a.rep == "d":
+            t = _ds_trunc(a)
+            lt = _ds_lt(t, a)
+            return self.where(W.plain(lt, self.base),
+                              _ds_add(t, W.ds_from_float(1.0, self.base)), t)
+        return W.plain(self.base.ceil(a.a), self.base)
+
+    def fmod(self, a, b):
+        a, b = a._lift(b)
+        if a.rep == "p":
+            return W.plain(self.base.fmod(a.a, b.a), self.base)
+        # DS fmod: a - trunc(a/b)*b (documented: large quotients lose
+        # precision, as any emulated f64 does)
+        q = _ds_trunc(_ds_div(a, b))
+        return _ds_add(a, _ds_neg(_ds_mul(q, b)))
+
+    def power(self, a, b):
+        if a.rep == "d" or (isinstance(b, W) and b.rep == "d"):
+            a2, b2 = a._lift(b)
+            v = self.base.power(a2.a + a2.b, b2.a + b2.b)
+            return W("d", v, self.base.zeros_like(v), self.base)
+        return W.plain(self.base.power(a.a, self._plain(b)), self.base)
+
+    def __getattr__(self, name):
+        # transcendental fallbacks (exp/log/sin/...): f32 accuracy on the
+        # hi component for DS values — documented limitation of every
+        # emulated-f64 path
+        fn = getattr(self.base, name)
+
+        def wrapped(a, *args):
+            if isinstance(a, W):
+                if a.rep == "d":
+                    v = fn(a.a + a.b, *args)
+                    return W("d", v, self.base.zeros_like(v), self.base)
+                return W.plain(fn(a.a, *args), self.base)
+            return W.plain(fn(a, *args), self.base)
+
+        return wrapped
+
+
+# ---- host-side plane split/merge -------------------------------------------
+
+
+def split_planes(x: np.ndarray):
+    """Host: one 64-bit numpy array -> (lo, hi) int32-container planes
+    (uint32 reinterpreted as int32 for TPU transfer neutrality)."""
+    if x.dtype == np.float64:
+        hi = x.astype(np.float32)
+        lo = (x - hi.astype(np.float64)).astype(np.float32)
+        return lo, hi
+    u = x.astype(np.uint64)
+    lo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (u >> np.uint64(32)).astype(np.uint32)
+    return lo, hi
+
+
+def merge_planes(lo, hi, dtype) -> np.ndarray:
+    """Host: (lo, hi) planes -> one 64-bit numpy array."""
+    lo = np.asarray(lo)
+    hi = np.asarray(hi)
+    if np.dtype(dtype) == np.float64:
+        return hi.astype(np.float64) + lo.astype(np.float64)
+    u = (hi.astype(np.uint64) << np.uint64(32)) \
+        | lo.astype(np.uint64)
+    return u.astype(dtype)
+
+
+def is_wide(t) -> bool:
+    """True for DSL types that need the pair carrier on the TPU path."""
+    return (t.is_int and t.width > 32) or (t.is_float and t.width == 64)
+
+
+def rep_for(t) -> str:
+    """Pair rep tag for a wide DSL type."""
+    if t.is_float:
+        return "d"
+    return "i" if t.is_signed else "u"
+
+
+def wrap_planes(t, p_lo, p_hi, xp) -> W:
+    """(lo, hi) storage planes -> W value for DSL type t (ints: limbs;
+    double: (hi, lo) double-single components)."""
+    if t.is_float:
+        return W("d", p_hi, p_lo, xp)
+    return W(rep_for(t), p_lo.astype(np.uint32), p_hi.astype(np.uint32), xp)
+
+
+def unwrap_planes(t, w: W):
+    """W value -> (lo, hi) storage planes for DSL type t."""
+    if t.is_float:
+        return w.b, w.a
+    return w.a, w.b
+
+
+def program_is_wide(program) -> bool:
+    """True when USER-declared tensors need pair carriers in-kernel.
+    Synthetic (compiler-generated) int64 partial sums in otherwise-32-bit
+    programs keep the documented int32 TPU behavior and do NOT trigger
+    the wide path."""
+    return any(is_wide(t.type) and not t.synthetic
+               for t in program.tensors.values())

@@ -122,16 +122,19 @@ class ScalarType:
     @property
     def tpu_storage_bytes(self) -> int:
         if self.kind == "float":
-            return 4
+            return 8 if self.width == 64 else 4
         if self.width <= 8:
             return 1
-        return 2 if self.width <= 16 else 4
+        if self.width <= 16:
+            return 2
+        return 4 if self.width <= 32 else 8
 
     @property
     def sublane_quantum(self) -> int:
         """Min sublane tile of the TPU storage dtype (8 for 32-bit,
-        16 for 16-bit, 32 for 8-bit containers)."""
-        return {1: 32, 2: 16, 4: 8}[self.tpu_storage_bytes]
+        16 for 16-bit, 32 for 8-bit containers; 64-bit rides pairs of
+        32-bit planes, each tiling at 8)."""
+        return {1: 32, 2: 16, 4: 8, 8: 8}[self.tpu_storage_bytes]
 
     # ---- C++ mapping (golden runner) --------------------------------------
 

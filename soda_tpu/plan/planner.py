@@ -215,8 +215,12 @@ def _plan_group(
     nf: int,
     block_override: tuple[int, ...] | None,
     updates_per_cell: int = 1,
+    windows_only: bool = False,
 ) -> GroupPlan | None:
-    """Pick the best block for one fused stage group; None if infeasible."""
+    """Pick the best block for one fused stage group; None if infeasible.
+
+    windows_only: restrict to the windows strategy (64-bit pair-carrier
+    programs — strips/linebuffer assembly is not pair-aware)."""
     rank = program.rank
     ext_inputs, outputs = _group_io(program, members)
     spans = group_spans(program, members, outputs)
@@ -273,7 +277,9 @@ def _plan_group(
             else:
                 hs.append((lo, hi))
         halo_strips[i] = tuple(hs)
-    dtype_bytes = 4  # compute/intermediate dtype (f32/int32)
+    # compute/intermediate bytes: f32/int32, or paired-32-bit carriers
+    # when the program has 64-bit tensors (windows_only wide mode)
+    dtype_bytes = 8 if windows_only else 4
 
     # ---- aligned-core hybrid bookkeeping (pad-free strategies on grids
     # whose leading dims are not tile-quantum aligned): the kernel runs on
@@ -462,7 +468,7 @@ def _plan_group(
                     return False
             return True
 
-        if strips_ok():
+        if strips_ok() and not windows_only:
             evs = evaluate(block, halo_strips, strips=True, shape=core)
             evs["traffic"] += rim_traffic()
             if evs["vmem"] <= vmem_budget and not (
@@ -478,7 +484,8 @@ def _plan_group(
     #    buffer).  Carry and lookahead are rounded to the sublane quantum
     #    so every concat/slice in the kernel is tile-aligned (round 1's
     #    unaligned sublane concat is what hung Mosaic). ------------------
-    if rank == 2 and nf == 1 and block_override is None and ext_inputs:
+    if (rank == 2 and nf == 1 and block_override is None
+            and ext_inputs and not windows_only):
         H, W = grid_shape
         Hc = core[0]
         r_lo = max(-spans[i][0][0] for i in ext_inputs)
@@ -520,7 +527,7 @@ def _plan_group(
     #    leading dim with R carried planes in persistent VMEM scratch —
     #    no halo re-reads, no host-pad copies (the VMEM analog of SODA's
     #    line buffer, one-read-per-cell) --------------------------------
-    if rank == 3 and nf == 1 and block_override is None:
+    if rank == 3 and nf == 1 and block_override is None and not windows_only:
         Z, Y, X = grid_shape
         Zc, Yc = core[0], core[1]  # == Z, Y when the grid is aligned
         # slab margins: the kernel evaluates stages at CONSTANT slab
@@ -645,17 +652,27 @@ def plan(
     notes: list[str] = []
     stages = program.stage_order()
     it = max(program.iterate, 1)
+    from ..interp.wide64 import program_is_wide
+
+    wide = program_is_wide(program)
+    if wide:
+        notes.append(
+            "64-bit tensors: windows strategy with paired-32-bit carriers "
+            "in-kernel; fused sweeps disabled (one sweep per call)")
 
     def whole(nf):
         return _plan_group(
             program, stages, grid_shape, vmem_budget=vmem_budget,
             max_compute_waste=max_compute_waste, nf=nf,
-            block_override=block_override, updates_per_cell=updates_per_cell)
+            block_override=block_override, updates_per_cell=updates_per_cell,
+            windows_only=wide)
 
     # 1) whole-program fusion at the requested sweep count, backing off
     #    sweeps on halo blowup (fused sweeps must divide iterate — a
     #    non-divisor would silently under-execute sweeps in chunked calls)
     nf = it if sweeps is None else max(1, min(sweeps, it))
+    if wide:
+        nf = 1  # pair-carrier kernels run one sweep per call (chunked)
     if len(program.input_names) > 1 and nf > TRAPEZOID_MAX_SWEEPS:
         # auxiliary iterate inputs require the trapezoid kernel path (the
         # constant-extent fori carries only the feedback tensor): cap fused
@@ -668,7 +685,7 @@ def plan(
     if sweeps is not None and nf != sweeps:
         notes.append(f"requested sweeps {sweeps} adjusted to divisor {nf} "
                      f"of iterate {it}")
-    if sweeps is None and it > 1:
+    if sweeps is None and it > 1 and not wide:
         # AUTO sweep selection: maximal fusion minimizes HBM traffic but
         # deep fori chains pay the constant-extent compute waste, while a
         # shallower trapezoid (<= TRAPEZOID_MAX_SWEEPS) costs more traffic
@@ -739,7 +756,8 @@ def plan(
         gp = _plan_group(
             program, trial, grid_shape, vmem_budget=vmem_budget,
             max_compute_waste=max_compute_waste, nf=1,
-            block_override=block_override, updates_per_cell=updates_per_cell)
+            block_override=block_override, updates_per_cell=updates_per_cell,
+            windows_only=wide)
         if gp is not None:
             cur, cur_plan = trial, gp
             continue
@@ -752,7 +770,8 @@ def plan(
         cur_plan = _plan_group(
             program, cur, grid_shape, vmem_budget=vmem_budget,
             max_compute_waste=max_compute_waste, nf=1,
-            block_override=block_override, updates_per_cell=updates_per_cell)
+            block_override=block_override, updates_per_cell=updates_per_cell,
+            windows_only=wide)
         if cur_plan is None:
             raise ValueError(
                 f"stage {s!r} alone does not fit vmem budget {vmem_budget} "

@@ -321,15 +321,17 @@ def test_float_mod_and_round_c_semantics():
         assert np.array_equal(got_c["r"], gold["r"]), (got_c["r"], gold["r"])
 
 
-def test_wide_int_rejected_on_tpu_path():
+def test_wide_int_runs_on_tpu_path():
+    """Updated for the in-kernel wide mode: int64 no longer rejects — the
+    Pallas path runs it bit-exactly via pair carriers (tiny grid exercises
+    the rank-1-like small-block plumbing too)."""
     from soda_tpu.frontend.parser import parse
     p = parse("kernel: t\ninput int64: a(8, *)\noutput int64: b(0,0) = a(0,0) + 1\n")
     x = np.arange(16, dtype=np.int64).reshape(2, 8)
-    # oracle supports it
     out = numpy_interp.run(p, {"a": x})["b"]
     assert out.dtype == np.int64
-    with pytest.raises(NotImplementedError, match="widths > 32"):
-        pallas_backend.run(p, {"a": x}, interpret=True)
+    got = pallas_backend.run(p, {"a": x}, interpret=True)["b"]
+    assert got.dtype == np.int64 and np.array_equal(got, out)
 
 
 def test_xla_wide_mode_64bit():
@@ -365,17 +367,24 @@ def test_xla_wide_mode_64bit():
     assert np.abs(g2[:, 1:-1] - t2[:, 1:-1]).max() < 1e-12
 
 
-def test_pallas_rejects_wide_with_pointer_to_xla():
+def test_pallas_wide_tensors_run_in_kernel():
+    """Round 2 (TODO '64-bit on the Pallas path'): user int64 tensors run
+    IN-KERNEL via paired-32-bit carriers (interp/wide64), bit-exact vs
+    the int64 oracle — no longer rejected to the XLA backend."""
     from soda_tpu.backend import pallas as pb
 
     src = (
         "kernel: wide\n"
         "input int64: a(64, *)\n"
-        "output int64: out(0, 0) = a(0, 0) + a(0, 1)\n"
+        "output int64: out(0, 0) = a(0, 0) * a(0, 1) + (a(0, -1) >> 7)\n"
     )
     p = parse(src)
-    with pytest.raises(NotImplementedError, match="backend xla"):
-        pb.check_tpu_supported(p)
+    pb.check_tpu_supported(p)  # must not raise
+    x = rng.integers(-2**50, 2**50, (16, 128)).astype(np.int64)
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = pb.run(p, {"a": x}, interpret=True)["out"]
+    assert got.dtype == np.int64
+    assert np.array_equal(gold[:, 1:-1], got[:, 1:-1])
 
 
 def test_pallas_rejects_wide_params():

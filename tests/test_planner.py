@@ -458,15 +458,17 @@ def test_auto_sweeps_respects_aux_cap():
     assert out.shape == x.shape
 
 
-def test_user_tensor_named_like_cse_stays_rejected():
-    """Review r2b: the synthetic-stage exemption is a Tensor FLAG, not a
-    name-substring test — user tensors named *__cse* stay rejected."""
-    import pytest as _pytest
-
-    from soda_tpu.backend import pallas as pb
+def test_user_tensor_named_like_cse_goes_wide():
+    """Review r2b, updated for the in-kernel wide mode: the synthetic-stage
+    exemption is a Tensor FLAG, not a name-substring test — USER tensors
+    named *__cse* trigger the (8 B/elem, pair-carrier) wide path, while
+    truly synthetic int64 partial sums keep the fast 32-bit path."""
+    from soda_tpu.interp.wide64 import program_is_wide
 
     src = ("kernel: w\ninput int64: a__cse1(64, *)\n"
            "output int64: out(0,0) = a__cse1(0,0) + a__cse1(0,1)\n")
     p = parse(src)
-    with _pytest.raises(NotImplementedError):
-        pb.check_tpu_supported(p)
+    assert program_is_wide(p)  # user-declared despite the __cse name
+    pl = plan(p, (64, 128))
+    assert pl.groups[0].strategy == "windows"
+    assert any("paired-32-bit" in n for n in pl.notes)

@@ -1,0 +1,237 @@
+"""In-kernel 64-bit wide mode (interp/wide64): paired-32-bit limb
+arithmetic and double-single f64, unit-tested against numpy int64/float64
+ground truth and integration-tested through the Pallas path (interpret
+mode; the same kernels compile and verify on TPU hardware — see git log /
+scripts/tpu_check.py corpus additions)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from soda_tpu.backend import pallas as pb
+from soda_tpu.frontend.parser import parse
+from soda_tpu.interp import numpy_interp
+from soda_tpu.interp.wide64 import (
+    W, WideXP, merge_planes, program_is_wide, split_planes)
+
+rng = np.random.default_rng(7)
+
+
+def pair(v):
+    lo, hi = split_planes(np.asarray(v))
+    rep = "i" if v.dtype == np.int64 else "u"
+    return W(rep, lo, hi, np)
+
+
+def unpair(w, dtype):
+    return merge_planes(w.a, w.b, dtype)
+
+
+# ---- unit: limb arithmetic vs int64 ground truth -------------------------
+
+
+def test_pair_arithmetic_exact():
+    xp = WideXP(np)
+    a = rng.integers(-2**62, 2**62, 4000, dtype=np.int64)
+    b = rng.integers(-2**62, 2**62, 4000, dtype=np.int64)
+    wa, wb = pair(a), pair(b)
+    assert np.array_equal(unpair(wa + wb, np.int64), a + b)
+    assert np.array_equal(unpair(wa - wb, np.int64), a - b)
+    assert np.array_equal(unpair(wa * wb, np.int64), a * b)
+    assert np.array_equal(unpair(-wa, np.int64), -a)
+    assert np.array_equal((wa < wb).a, a < b)
+    assert np.array_equal((wa >= wb).a, a >= b)
+    assert np.array_equal(unpair(xp.minimum(wa, wb), np.int64),
+                          np.minimum(a, b))
+    assert np.array_equal(unpair(xp.abs(wa), np.int64), np.abs(a))
+    assert np.array_equal(unpair(wa & wb, np.int64), a & b)
+    assert np.array_equal(unpair(wa ^ wb, np.int64), a ^ b)
+    assert np.array_equal(unpair(~wa, np.int64), ~a)
+
+
+@pytest.mark.parametrize("s", [0, 1, 7, 31, 32, 33, 63])
+def test_pair_shifts_exact(s):
+    xp = WideXP(np)
+    a = rng.integers(-2**62, 2**62, 2000, dtype=np.int64)
+    u = rng.integers(0, 2**64, 2000, dtype=np.uint64)
+    wa, wu = pair(a), pair(u)
+    assert np.array_equal(unpair(xp.left_shift(wa, s), np.int64), a << s)
+    assert np.array_equal(unpair(xp.right_shift(wa, s), np.int64), a >> s)
+    assert np.array_equal(unpair(xp.right_shift(wu, s), np.uint64), u >> s)
+
+
+def test_pair_long_division_exact():
+    xp = WideXP(np)
+    a = rng.integers(-2**62, 2**62, 400, dtype=np.int64)
+    b = (rng.integers(1, 2**45, 400, dtype=np.int64)
+         * rng.choice([-1, 1], 400).astype(np.int64))
+    assert np.array_equal(unpair(xp.floor_divide(pair(a), pair(b)),
+                                 np.int64), a // b)
+    u = rng.integers(0, 2**64, 400, dtype=np.uint64)
+    v = rng.integers(1, 2**64, 400, dtype=np.uint64)
+    assert np.array_equal(unpair(xp.floor_divide(pair(u), pair(v)),
+                                 np.uint64), u // v)
+
+
+def test_double_single_accuracy():
+    xp = WideXP(np)
+    a = rng.standard_normal(4000) * 10.0 ** rng.integers(-3, 4, 4000)
+    b = rng.standard_normal(4000) * 10.0 ** rng.integers(-3, 4, 4000)
+
+    def ds(v):
+        lo, hi = split_planes(v)
+        return W("d", hi, lo, np)
+
+    def err(w, want):
+        got = merge_planes(w.b, w.a, np.float64)
+        return np.max(np.abs(got - want) / np.maximum(np.abs(want), 1e-300))
+
+    assert err(ds(a) + ds(b), a + b) < 1e-12
+    assert err(ds(a) * ds(b), a * b) < 1e-13
+    assert err(ds(a) / ds(b), a / b) < 1e-13
+    assert err(xp.sqrt(xp.abs(ds(a))), np.sqrt(np.abs(a))) < 1e-13
+    # trunc/floor/ceil are exact on the DS-representable value
+    f = rng.standard_normal(4000) * 2.0 ** rng.integers(0, 45, 4000)
+    lo, hi = split_planes(f)
+    x_ds = hi.astype(np.float64) + lo.astype(np.float64)
+    for fn, ref in ((xp.trunc, np.trunc), (xp.floor, np.floor),
+                    (xp.ceil, np.ceil)):
+        w = fn(ds(f))
+        assert np.array_equal(merge_planes(w.b, w.a, np.float64), ref(x_ds))
+
+
+def test_pair_float_conversions():
+    i = rng.integers(-2**46, 2**46, 4000, dtype=np.int64)
+    w = pair(i).astype(np.float64)
+    got = merge_planes(w.b, w.a, np.float64)
+    assert np.max(np.abs(got - i.astype(np.float64))
+                  / np.maximum(np.abs(i.astype(np.float64)), 1)) < 1e-13
+    back = w.astype(np.int64)
+    assert np.array_equal(merge_planes(back.a, back.b, np.int64), i)
+
+
+# ---- integration: Pallas path (interpret mode) vs the int64 oracle --------
+
+
+def run_both(src, ins, it=None):
+    p = parse(src)
+    assert program_is_wide(p)
+    gold = numpy_interp.run(p, ins, iterate=it)[p.output_names[0]]
+    got = pb.run(p, ins, interpret=True, iterate=it)[p.output_names[0]]
+    r = p.valid_rim(iterate=it) if it else p.valid_rim()
+    sl = tuple(slice(r, -r) if r else slice(None)
+               for _ in range(gold.ndim))
+    return gold[sl], got[sl]
+
+
+def test_pallas_i64_bit_exact():
+    x = rng.integers(-2**50, 2**50, (32, 128), dtype=np.int64)
+    g, o = run_both(
+        "kernel: s\ninput int64: a(128, *)\n"
+        "output int64: out(0,0) = a(-1,0) * a(1,0) + (a(0,-1) >> 5)"
+        " - a(0,1) + int64(123456789012345)\n", {"a": x})
+    assert o.dtype == np.int64 and np.array_equal(g, o)
+
+
+def test_pallas_u64_division_bit_exact():
+    u = rng.integers(1, 2**63, (32, 128), dtype=np.uint64)
+    g, o = run_both(
+        "kernel: u\ninput uint64: a(128, *)\n"
+        "output uint64: out(0,0) = a(0,0) / (a(0,1) % uint64(1000000007)"
+        " + uint64(1)) + (a(-1,0) & a(1,0))\n", {"a": u})
+    assert o.dtype == np.uint64 and np.array_equal(g, o)
+
+
+def test_pallas_i64_c_division_negative():
+    x = rng.integers(-2**50, 2**50, (32, 128), dtype=np.int64)
+    g, o = run_both(
+        "kernel: s\ninput int64: a(128, *)\n"
+        "output int64: out(0,0) = a(0,0) / (a(0,1) % int64(999983)"
+        " + int64(1000003)) + min(a(-1,0), a(1,0))\n", {"a": x})
+    assert np.array_equal(g, o)
+
+
+def test_pallas_f64_double_single():
+    f = rng.standard_normal((32, 128))
+    g, o = run_both(
+        "kernel: d\ninput double: a(128, *)\n"
+        "output double: out(0,0) = (a(-1,0) + a(1,0) + a(0,-1) + a(0,1)"
+        " + a(0,0)) * 0.2\n", {"a": f})
+    assert o.dtype == np.float64
+    # double-single: far beyond f32's ~1e-7
+    assert np.abs(g - o).max() / np.abs(g).max() < 1e-12
+
+
+def test_pallas_wide_iterate_and_rank3():
+    x = rng.integers(-2**45, 2**45, (32, 128), dtype=np.int64)
+    g, o = run_both(
+        "kernel: it\niterate: 4\ninput int64: a(128, *)\n"
+        "output int64: out(0,0) = (a(-1,0) + a(1,0) + a(0,-1) + a(0,1))"
+        " / int64(4)\n", {"a": x})
+    assert np.array_equal(g, o)
+    x3 = rng.integers(-2**40, 2**40, (16, 16, 128), dtype=np.int64)
+    g3, o3 = run_both(
+        "kernel: r3\ninput int64: a(16, 16, *)\n"
+        "output int64: out(0,0,0) = a(-1,0,0) + a(0,1,0)"
+        " + a(0,0,-1) * int64(3)\n", {"a": x3})
+    assert np.array_equal(g3, o3)
+
+
+def test_pallas_wide_rank1():
+    x = rng.integers(-2**50, 2**50, 256, dtype=np.int64)
+    g, o = run_both(
+        "kernel: r1\ninput int64: a(*)\n"
+        "output int64: out(0) = a(-1) + a(0) * int64(7) + a(1)\n",
+        {"a": x})
+    assert np.array_equal(g, o)
+
+
+def test_pallas_mixed_narrow_wide():
+    m = rng.integers(0, 60000, (32, 128)).astype(np.uint16)
+    g, o = run_both(
+        "kernel: m\ninput uint16: a(128, *)\n"
+        "output int64: out(0,0) = int64(a(-1,0)) * int64(a(1,0))"
+        " * int64(a(0,-1)) + int64(a(0,1))\n", {"a": m})
+    assert np.array_equal(g, o)
+
+
+def test_plan_forces_windows_for_wide():
+    from soda_tpu.plan.planner import plan
+
+    p = parse("kernel: w\niterate: 4\ninput int64: a(128, *)\n"
+              "output int64: out(0,0) = a(0,-1) + a(0,1)\n")
+    pl = plan(p, (512, 512))
+    assert all(gp.strategy == "windows" for gp in pl.groups)
+    assert all(gp.sweeps == 1 for gp in pl.groups)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_wide_pallas_bit_exact(seed):
+    """Random int64 expression trees: Pallas pair carriers == int64
+    oracle, bit-exact."""
+    r = random.Random(7000 + seed)
+    terms = []
+    for _ in range(r.randint(2, 5)):
+        o = f"a({r.randint(-2, 2)}, {r.randint(-2, 2)})"
+        k = r.random()
+        if k < 0.2:
+            terms.append(f"{o} * int64({r.randint(-5, 5)})")
+        elif k < 0.35:
+            terms.append(f"({o} >> {r.randint(0, 40)})")
+        elif k < 0.5:
+            terms.append(f"max({o}, a({r.randint(-2, 2)}, 0))")
+        elif k < 0.6:
+            terms.append(f"{o} / (a(0, {r.randint(-2, 2)})"
+                         f" % int64({r.randint(100, 10**6)})"
+                         f" + int64({10**7}))")
+        elif k < 0.7:
+            terms.append(f"({o} > int64(0) ? {o} : -{o})")
+        else:
+            terms.append(o)
+    src = ("kernel: fz\ninput int64: a(64, *)\n"
+           f"output int64: out(0,0) = {' + '.join(terms)}\n")
+    x = np.random.default_rng(seed).integers(
+        -2**55, 2**55, (24, 128), dtype=np.int64)
+    g, o = run_both(src, {"a": x})
+    assert np.array_equal(g, o), src
