@@ -98,11 +98,25 @@ def _group_params(program: StencilProgram, g: GroupPlan) -> list[str]:
 
 
 def _param_ops(program: StencilProgram, param_names, params) -> list:
-    """Params as pallas operands: compute dtypes, >= 2-D shapes."""
+    """Params as pallas operands: compute dtypes, >= 2-D shapes.  64-bit
+    params ship as two 32-bit planes (lo, hi)."""
+    from ..interp import wide64
+
+    import numpy as np
+
     ops = []
     for name in param_names:
-        p = jnp.asarray(params[name])
         t = program.params[name].type
+        if wide64.is_wide(t):
+            lo, hi = wide64.split_planes(
+                np.asarray(params[name]).astype(t.np_dtype()))
+            for plane in (lo, hi):
+                q = jnp.asarray(plane)
+                if q.ndim < 2:
+                    q = q.reshape((1,) * (2 - q.ndim) + q.shape)
+                ops.append(q)
+            continue
+        p = jnp.asarray(params[name])
         p = p.astype(jnp.float32 if t.is_float else jnp.int32)
         if p.ndim < 2:
             p = p.reshape((1,) * (2 - p.ndim) + p.shape)
@@ -110,12 +124,32 @@ def _param_ops(program: StencilProgram, param_names, params) -> list:
     return ops
 
 
+def _n_param_ops(program: StencilProgram, param_names) -> int:
+    from ..interp import wide64
+
+    return sum(2 if wide64.is_wide(program.params[n].type) else 1
+               for n in param_names)
+
+
 def _read_params(program: StencilProgram, param_names, par_refs) -> dict:
+    from ..interp import wide64
+
     params = {}
-    for name, ref in zip(param_names, par_refs):
-        v = ref[:]
+    i = 0
+    for name in param_names:
+        t = program.params[name].type
         shp = program.params[name].shape
-        params[name] = v.reshape(shp) if shp else v.reshape(())
+        if wide64.is_wide(t):
+            lo = par_refs[i][:]
+            hi = par_refs[i + 1][:]
+            i += 2
+            lo = lo.reshape(shp) if shp else lo.reshape(())
+            hi = hi.reshape(shp) if shp else hi.reshape(())
+            params[name] = wide64.wrap_planes(t, lo, hi, jnp)
+        else:
+            v = par_refs[i][:]
+            i += 1
+            params[name] = v.reshape(shp) if shp else v.reshape(())
     return params
 
 
@@ -305,7 +339,7 @@ def _build_kernel(program: StencilProgram, g: GroupPlan):
     from ..interp import wide64
 
     param_names = _group_params(program, g)
-    n_par = len(param_names)
+    n_par = _n_param_ops(program, param_names)
     in_wide = [wide64.is_wide(program.tensors[n].type)
                for n in g.external_inputs]
     out_wide = [wide64.is_wide(program.tensors[n].type) for n in g.outputs]
@@ -650,7 +684,7 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
                                          memory_space=pltpu.VMEM))
 
     group_param_names = _group_params(program, g)
-    for _ in group_param_names:
+    for _ in range(_n_param_ops(program, group_param_names)):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     out_block = tuple(block[: rank - 1]) + (X,)
@@ -827,19 +861,10 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
 
 
 def check_tpu_supported(program: StencilProgram) -> None:
-    """Loud rejection of types the TPU compute path cannot represent
-    (the oracles support them; see ir/types.py docstring).
-
-    Round 2: USER-declared 64-bit TENSORS are now supported in-kernel via
-    paired-32-bit carriers (interp/wide64.py — exact s64/u64, ~1e-14
-    double-single f64); 64-bit PARAMS remain unsupported (rare, and the
-    XLA x64 wide mode covers them)."""
-    for p in program.params.values():
-        if p.type.is_int and p.type.width > 32:
-            raise NotImplementedError(
-                f"param {p.name!r} is {p.type}: integer widths > 32 for "
-                f"PARAMS are not supported on the Pallas path; use "
-                f"--backend xla (64-bit wide mode) or the oracles")
+    """Round 2: nothing left to reject — USER-declared 64-bit tensors AND
+    params run in-kernel via paired-32-bit carriers (interp/wide64.py —
+    exact s64/u64 incl. long division, ~1e-13 double-single f64).  Kept
+    as the documented extension point for future loud rejections."""
 
 
 def finalize_outputs(program: StencilProgram, outs) -> dict:

@@ -860,9 +860,10 @@ def unwrap_planes(t, w: W):
 
 
 def program_is_wide(program) -> bool:
-    """True when USER-declared tensors need pair carriers in-kernel.
-    Synthetic (compiler-generated) int64 partial sums in otherwise-32-bit
-    programs keep the documented int32 TPU behavior and do NOT trigger
-    the wide path."""
+    """True when USER-declared tensors or params need pair carriers
+    in-kernel.  Synthetic (compiler-generated) int64 partial sums in
+    otherwise-32-bit programs keep the documented int32 TPU behavior and
+    do NOT trigger the wide path."""
     return any(is_wide(t.type) and not t.synthetic
-               for t in program.tensors.values())
+               for t in program.tensors.values()) \
+        or any(is_wide(p.type) for p in program.params.values())

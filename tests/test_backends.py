@@ -387,20 +387,27 @@ def test_pallas_wide_tensors_run_in_kernel():
     assert np.array_equal(gold[:, 1:-1], got[:, 1:-1])
 
 
-def test_pallas_rejects_wide_params():
-    """Review r2: >32-bit PARAMS are rejected loudly on the Pallas path
-    (they would be silently truncated to int32)."""
+def test_pallas_wide_params_run_in_kernel():
+    """Round 2: >32-bit PARAMS also ride pair carriers — a uint64 param
+    above 2^32 reaches the kernel exactly (it would have truncated under
+    the old int32 param cast)."""
     from soda_tpu.backend import pallas as pb
+    from soda_tpu.interp.wide64 import program_is_wide
 
     src = (
         "kernel: wp\n"
         "param uint64: k\n"
         "input uint16: a(64, *)\n"
-        "output uint32: out(0, 0) = a(0, 0) + k\n"
+        "output uint64: out(0, 0) = uint64(a(0, 0)) * k + uint64(a(0, 1))\n"
     )
     p = parse(src)
-    with pytest.raises(NotImplementedError, match="param"):
-        pb.check_tpu_supported(p)
+    assert program_is_wide(p)
+    x = rng.integers(0, 60000, (16, 128)).astype(np.uint16)
+    k = np.uint64(10_000_000_019)  # > 2^32
+    gold = numpy_interp.run(p, {"a": x}, {"k": k})["out"]
+    got = pb.run(p, {"a": x}, {"k": k}, interpret=True)["out"]
+    assert got.dtype == np.uint64
+    assert np.array_equal(gold[:, 1:-1], got[:, 1:-1])
 
 
 def test_mixed_sign_chain_constant_extent_margins():
