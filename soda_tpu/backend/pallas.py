@@ -396,11 +396,16 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
     sizes aligned to the tile quantum (the planner guarantees both)."""
     import itertools as it
 
+    from ..interp import wide64
+
     rank = program.rank
     block = g.block
     X = grid_shape[-1]
     n_tiled = rank - 1
     param_names = _group_params(program, g)
+    wide_in = {n: wide64.is_wide(program.tensors[n].type)
+               for n in g.external_inputs}
+    n_par_ops = _n_param_ops(program, param_names)
     # aligned-core hybrid: the kernel's world is the core; rows beyond it
     # are produced by the XLA rim pass (see _apply_rims)
     cshape = g.core or grid_shape
@@ -448,12 +453,13 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
                 out.append(0)
                 return tuple(out)
 
-            in_specs.append(pl.BlockSpec(
-                tuple(pl.Element(s) for s in shape), imap,
-                memory_space=pltpu.VMEM))
-            piece_index.append((name, kinds))
+            for plane in range(2 if wide_in[name] else 1):
+                in_specs.append(pl.BlockSpec(
+                    tuple(pl.Element(s) for s in shape), imap,
+                    memory_space=pltpu.VMEM))
+                piece_index.append((name, kinds, plane))
 
-    for _ in param_names:
+    for _ in range(n_par_ops):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     def out_imap(*gidx):
@@ -462,31 +468,44 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
                 jnp.minimum(gidx[d] * block[d], cshape[d] - block[d]), 8)
             for d in range(n_tiled)) + (0,)
 
-    out_specs = [
-        pl.BlockSpec(tuple(pl.Element(b) for b in block[:n_tiled])
-                     + (pl.Element(X),),
-                     out_imap, memory_space=pltpu.VMEM)
-        for _ in g.outputs
-    ]
-    out_shapes = [
-        jax.ShapeDtypeStruct(tuple(grid_shape[:n_tiled]) + (X,),
-                             _io_dtype(program, o))
-        for o in g.outputs
-    ]
+    out_specs = []
+    out_shapes = []
+    out_wide = []
+    for o in g.outputs:
+        w = wide64.is_wide(program.tensors[o].type)
+        out_wide.append(w)
+        t = program.tensors[o].type
+        plane_dt = jnp.float32 if t.is_float else jnp.uint32
+        for _ in range(2 if w else 1):
+            out_specs.append(pl.BlockSpec(
+                tuple(pl.Element(b) for b in block[:n_tiled])
+                + (pl.Element(X),), out_imap, memory_space=pltpu.VMEM))
+            out_shapes.append(jax.ShapeDtypeStruct(
+                tuple(grid_shape[:n_tiled]) + (X,),
+                plane_dt if w else _io_dtype(program, o)))
 
     n_pieces = len(piece_index)
 
     def kernel(*refs):
         piece_refs = refs[:n_pieces]
-        par_refs = refs[n_pieces:n_pieces + len(param_names)]
-        out_refs = refs[n_pieces + len(param_names):]
+        par_refs = refs[n_pieces:n_pieces + n_par_ops]
+        raw_out = refs[n_pieces + n_par_ops:]
+        out_refs = []
+        j = 0
+        for w in out_wide:
+            if w:
+                out_refs.append((raw_out[j], raw_out[j + 1]))
+                j += 2
+            else:
+                out_refs.append(raw_out[j])
+                j += 1
         params = _read_params(program, param_names, par_refs)
 
         gidx = [pl.program_id(d) for d in range(n_tiled)]
         gnum = [pl.num_programs(d) for d in range(n_tiled)]
 
-        pieces: dict[str, dict[tuple[int, ...], jax.Array]] = {}
-        for (name, kinds), ref in zip(piece_index, piece_refs):
+        pieces: dict = {}
+        for (name, kinds, plane), ref in zip(piece_index, piece_refs):
             v = ref[:]
             # zero edge strips: a lo strip at grid index 0 (or hi strip at
             # the last index) holds clamped re-reads — semantically the
@@ -502,22 +521,28 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
                 zero = c if zero is None else (zero | c)
             if zero is not None:
                 v = jnp.where(zero, jnp.zeros_like(v), v)
-            pieces.setdefault(name, {})[kinds] = v
+            pieces.setdefault((name, plane), {})[kinds] = v
+
+        # assemble: concat along dims from last tiled dim to first
+        def assemble(ps, prefix: tuple[int, ...], d: int):
+            if d == n_tiled:
+                return ps[prefix]
+            parts = []
+            for k in (-1, 0, 1):
+                if any(kk[:d] == prefix and kk[d] == k for kk in ps):
+                    parts.append(assemble(ps, prefix + (k,), d + 1))
+            return jnp.concatenate(parts, axis=d) if len(parts) > 1 \
+                else parts[0]
 
         values = {}
         for name in g.external_inputs:
-            ps = pieces[name]
-            # assemble: concat along dims from last tiled dim to first
-            def assemble(prefix: tuple[int, ...], d: int):
-                if d == n_tiled:
-                    return ps[prefix]
-                parts = []
-                for k in (-1, 0, 1):
-                    if any(kk[:d] == prefix and kk[d] == k for kk in ps):
-                        parts.append(assemble(prefix + (k,), d + 1))
-                return jnp.concatenate(parts, axis=d) if len(parts) > 1 else parts[0]
-
-            values[name] = assemble((), 0)
+            if wide_in[name]:
+                p0 = assemble(pieces[(name, 0)], (), 0)
+                p1 = assemble(pieces[(name, 1)], (), 0)
+                values[name] = wide64.wrap_planes(
+                    program.tensors[name].type, p0, p1, jnp)
+            else:
+                values[name] = assemble(pieces[(name, 0)], (), 0)
 
         _eval_group(program, g, values, params, out_refs)
 
@@ -535,15 +560,34 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
     )
 
     def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
+        import numpy as np
+
         ops = []
         for name in g.external_inputs:
-            x = jnp.asarray(values[name], _io_dtype(program, name))
-            ops.extend([x] * len(kinds_for(name)))
+            if wide_in[name]:
+                lo, hi = wide64.split_planes(np.asarray(values[name]))
+                planes = (jnp.asarray(lo), jnp.asarray(hi))
+                for _ in kinds_for(name):
+                    ops.extend(planes)
+            else:
+                x = jnp.asarray(values[name], _io_dtype(program, name))
+                ops.extend([x] * len(kinds_for(name)))
         ops.extend(_param_ops(program, param_names, params))
         outs = call(*ops)
-        if len(g.outputs) == 1:
+        if not isinstance(outs, (tuple, list)):
             outs = (outs,)
-        return dict(zip(g.outputs, outs))
+        res = {}
+        j = 0
+        for name, w in zip(g.outputs, out_wide):
+            if w:
+                res[name] = wide64.merge_planes(
+                    np.asarray(outs[j]), np.asarray(outs[j + 1]),
+                    program.tensors[name].type.np_dtype())
+                j += 2
+            else:
+                res[name] = outs[j]
+                j += 1
+        return res
 
     return fn
 

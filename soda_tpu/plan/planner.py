@@ -468,7 +468,10 @@ def _plan_group(
                     return False
             return True
 
-        if strips_ok() and not windows_only:
+        # wide (pair-carrier) programs may use strips — the pieces are
+        # per-plane 32-bit arrays — but only on aligned grids: the hybrid
+        # XLA rim path is not pair-aware
+        if strips_ok() and (not windows_only or not hybrid_dims):
             evs = evaluate(block, halo_strips, strips=True, shape=core)
             evs["traffic"] += rim_traffic()
             if evs["vmem"] <= vmem_budget and not (
@@ -657,8 +660,9 @@ def plan(
     wide = program_is_wide(program)
     if wide:
         notes.append(
-            "64-bit tensors: windows strategy with paired-32-bit carriers "
-            "in-kernel; fused sweeps disabled (one sweep per call)")
+            "64-bit tensors: paired-32-bit carriers in-kernel "
+            "(windows/strips strategies); fused sweeps disabled "
+            "(one sweep per call)")
 
     def whole(nf):
         return _plan_group(

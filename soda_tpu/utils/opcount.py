@@ -54,10 +54,26 @@ def expr_ops(e: ir.Expr) -> float:
     return ops
 
 
+# modeled VPU-op multipliers for paired-32-bit carriers (interp/wide64):
+# add/sub ≈ 4 limb ops (adds + carry compare), mul ≈ 12 (16-bit half
+# products + carries), compare/select/minmax ≈ 3; long division is a
+# 64-step unrolled loop (~8 ops/step).  A single blended multiplier keeps
+# the report honest without re-walking per-op; division-heavy programs
+# are still underestimated (flagged in the report as modeled).
+WIDE_PAIR_OP_WEIGHT = 6.0
+
+
 def ops_per_cell(program: StencilProgram) -> float:
-    """Weighted VPU ops per cell for ONE sweep of all stages."""
-    return sum(expr_ops(t.expr) for t in program.tensors.values()
+    """Weighted VPU ops per cell for ONE sweep of all stages.  Programs
+    on the in-kernel 64-bit pair-carrier path cost ~WIDE_PAIR_OP_WEIGHT
+    VPU ops per DSL op (modeled)."""
+    from ..interp.wide64 import program_is_wide
+
+    base = sum(expr_ops(t.expr) for t in program.tensors.values()
                if t.expr is not None)
+    if program_is_wide(program):
+        return base * WIDE_PAIR_OP_WEIGHT
+    return base
 
 
 def vpu_bound_gcells(program: StencilProgram,
