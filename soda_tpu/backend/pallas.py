@@ -237,6 +237,9 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
         # block + m*creep, eliminating the constant-extent margin
         # recompute.  Auxiliary (non-feedback) inputs are sweep-invariant
         # windows tapped like stage values.
+        from ..interp import wide64
+
+        wide = wide64.program_is_wide(program)
         fb = (program.input_names[0]
               if program.input_names[0] in g.external_inputs
               else g.external_inputs[0])
@@ -251,7 +254,8 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
             h = g.halo[name]
             origins[name] = tuple(-h[d][0] for d in range(rank - 1))
             vals[name] = values[name]
-        vals[fb] = vals[fb].astype(_compute_dtype(program, fb))
+        if not wide:  # pair carriers (W) are already in compute form
+            vals[fb] = vals[fb].astype(_compute_dtype(program, fb))
 
         for s in range(g.sweeps):
             m = g.sweeps - 1 - s
@@ -283,18 +287,33 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
                     for d in range(rank - 1)) + (slice(None),)
                 return _lane_shift(pv[sl], off[-1])
 
-            ctx = EvalContext(program=program, xp=jnp, tap=tap,
-                              params=params, int_width=32)
+            if wide:
+                ctx = EvalContext(program=program, xp=wide64.WideXP(jnp),
+                                  tap=tap, params=params, int_width=64,
+                                  tpu_wide=True)
+            else:
+                ctx = EvalContext(program=program, xp=jnp, tap=tap,
+                                  params=params, int_width=32)
             for st in g.stages:
                 cur_stage[0] = st
                 t = program.tensors[st]
                 v, vt = eval_expr(t.expr, ctx)
                 sweep_vals[st] = store_cast(ctx, v, vt, t.type)
             # feed back: the sweep's output becomes next sweep's fb value
-            vals[fb] = sweep_vals[out_name].astype(
-                _compute_dtype(program, fb))
+            vals[fb] = (sweep_vals[out_name] if wide else
+                        sweep_vals[out_name].astype(
+                            _compute_dtype(program, fb)))
             origins[fb] = stage_o[out_name]
-        out_refs[0][:] = vals[fb].astype(out_refs[0].dtype)
+        if isinstance(out_refs[0], tuple):  # wide output: plane refs
+            ty = program.tensors[out_name].type
+            lo, hi = wide64.unwrap_planes(
+                ty, vals[fb].astype(ty.np_dtype()))
+            out_refs[0][0][:] = lo.astype(out_refs[0][0].dtype)
+            out_refs[0][1][:] = hi.astype(out_refs[0][1].dtype)
+        elif wide:
+            out_refs[0][:] = vals[fb].astype(out_refs[0].dtype).a
+        else:
+            out_refs[0][:] = vals[fb].astype(out_refs[0].dtype)
     else:
         # constant-extent fused sweeps: zero-fill taps; invalid values
         # creep one sweep-span inward per sweep, staying inside the halo.

@@ -75,6 +75,32 @@ def _c_div(xp, a, b):
     return q + fix.astype(q.dtype)
 
 
+def _const_pow2(e: "ir.Expr") -> int | None:
+    """Literal positive power-of-two divisor (seen through casts), or
+    None.  `x / int64(4)` parses as Cast(Const(4)) — unwrap."""
+    while isinstance(e, ir.Cast):
+        e = e.operand
+    if isinstance(e, ir.Const) and isinstance(e.value, int):
+        v = e.value
+        if v > 0 and (v & (v - 1)) == 0:
+            return v
+    return None
+
+
+def _c_div_pow2(ctx: EvalContext, a, v: int, signed: bool):
+    """C truncating division by a constant 2^k: bias-then-shift (the
+    64-step pair long division would otherwise dominate kernel size —
+    and it's faster on every path)."""
+    xp = ctx.xp
+    k = v.bit_length() - 1
+    if k == 0:
+        return a
+    if signed:
+        bias = xp.where(a < 0, a - a + (v - 1), a - a)
+        a = a + bias
+    return xp.right_shift(a, k)
+
+
 def _c_mod(xp, a, b):
     q = _c_div(xp, a, b)
     return a - q * b
@@ -233,6 +259,11 @@ def eval_expr(e: ir.Expr, ctx: EvalContext) -> tuple[Any, ScalarType]:
         if op == "/":
             if t.is_float:
                 return a / b, t
+            p2 = _const_pow2(e.rhs)
+            if p2 is not None:
+                return _c_div_pow2(ctx, a, p2,
+                                   signed=t.kind != "uint"
+                                   or t.width < ctx.int_width), t
             return _c_div(xp, a, b), t
         if op == "%":
             if t.is_float:

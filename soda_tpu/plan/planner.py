@@ -55,6 +55,28 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _has_heavy_int_div(program: StencilProgram) -> bool:
+    """True when any stage divides/mods by a NON-power-of-two value in a
+    (possibly) integer context — the pair-carrier path lowers those to a
+    64-step long division.  Conservative: float '/' in mixed programs may
+    count (costing only fused sweeps, never correctness)."""
+    from ..interp.evaluator import _const_pow2
+    from ..ir import expr as ir_expr
+
+    any_float_only = all(t.type.is_float for t in program.tensors.values())
+    if any_float_only:
+        return False
+    for t in program.tensors.values():
+        if t.expr is None:
+            continue
+        for n in ir_expr.walk(t.expr):
+            if isinstance(n, ir_expr.BinOp) and n.op in ("/", "%"):
+                if n.op == "/" and _const_pow2(n.rhs) is not None:
+                    continue
+                return True
+    return False
+
+
 @dataclasses.dataclass
 class GroupPlan:
     """One fused kernel: a set of stages executed in a single pallas_call."""
@@ -661,8 +683,8 @@ def plan(
     if wide:
         notes.append(
             "64-bit tensors: paired-32-bit carriers in-kernel "
-            "(windows/strips strategies); fused sweeps disabled "
-            "(one sweep per call)")
+            "(windows/strips strategies); fused sweeps run the trapezoid "
+            f"schedule only (capped at {TRAPEZOID_MAX_SWEEPS})")
 
     def whole(nf):
         return _plan_group(
@@ -675,8 +697,22 @@ def plan(
     #    sweeps on halo blowup (fused sweeps must divide iterate — a
     #    non-divisor would silently under-execute sweeps in chunked calls)
     nf = it if sweeps is None else max(1, min(sweeps, it))
-    if wide:
-        nf = 1  # pair-carrier kernels run one sweep per call (chunked)
+    wide_div = wide and _has_heavy_int_div(program)
+    if wide_div and nf > 1:
+        # each fused sweep replicates the 64-step pair long division in
+        # the unrolled trapezoid — XLA/Mosaic compile time explodes
+        # (observed: XLA:CPU >90 s at 4 sweeps x 1 division).  Division
+        # by constant powers of two is shift-optimized and exempt.
+        nf = 1
+        notes.append(
+            "wide integer division: fused sweeps disabled "
+            "(64-step pair division per sweep — compile-cost guard)")
+    elif wide and nf > TRAPEZOID_MAX_SWEEPS:
+        # pair-carrier kernels fuse sweeps only on the trapezoid path
+        # (the fori carry is a single array, not a limb pair)
+        nf = TRAPEZOID_MAX_SWEEPS
+        notes.append(
+            f"64-bit pair carriers: fused sweeps capped at {nf} (trapezoid)")
     if len(program.input_names) > 1 and nf > TRAPEZOID_MAX_SWEEPS:
         # auxiliary iterate inputs require the trapezoid kernel path (the
         # constant-extent fori carries only the feedback tensor): cap fused
@@ -689,7 +725,7 @@ def plan(
     if sweeps is not None and nf != sweeps:
         notes.append(f"requested sweeps {sweeps} adjusted to divisor {nf} "
                      f"of iterate {it}")
-    if sweeps is None and it > 1 and not wide:
+    if sweeps is None and it > 1:
         # AUTO sweep selection: maximal fusion minimizes HBM traffic but
         # deep fori chains pay the constant-extent compute waste, while a
         # shallower trapezoid (<= TRAPEZOID_MAX_SWEEPS) costs more traffic
@@ -699,10 +735,12 @@ def plan(
         from ..utils.report import V5E_HBM_GBPS
 
         ops = ops_per_cell(program)
-        # auxiliary-input programs can only fuse sweeps on the trapezoid
-        # path (the fori kernel carries just the feedback tensor)
-        nf_cap = (TRAPEZOID_MAX_SWEEPS
-                  if len(program.input_names) > 1 else it)
+        # auxiliary-input and pair-carrier programs can only fuse sweeps
+        # on the trapezoid path (the fori carry is one array); wide
+        # division caps at one sweep (compile-cost guard above)
+        nf_cap = (1 if wide_div else
+                  TRAPEZOID_MAX_SWEEPS
+                  if len(program.input_names) > 1 or wide else it)
         best_nf, best_score, best_g = None, -1.0, None
         for cand in sorted({d for d in range(1, it + 1)
                             if it % d == 0 and d <= nf_cap}):

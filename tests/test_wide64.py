@@ -163,6 +163,40 @@ def test_pallas_f64_double_single():
     assert np.abs(g - o).max() / np.abs(g).max() < 1e-12
 
 
+def test_pallas_wide_trapezoid_fused_sweeps():
+    """Wide iterate programs fuse sweeps on the trapezoid schedule
+    (pair-carrier shrinking extents) — cutting traffic nf-fold vs the
+    old one-sweep-per-call chunking — and stay bit-exact; f64 stays at
+    double-single accuracy.  Hardware-verified this round (29 s compile,
+    v5e)."""
+    from soda_tpu.plan.planner import plan
+
+    src = ("kernel: it64\niterate: 8\ninput int64: a(128, *)\n"
+           "output int64: out(0,0) = (a(-1,0) + a(1,0) + a(0,-1)"
+           " + a(0,1)) / int64(4)\n")
+    p = parse(src)
+    pl = plan(p, (256, 256))
+    g = pl.groups[0]
+    assert g.trapezoid and g.sweeps > 1
+    x = rng.integers(-2**45, 2**45, (256, 256), dtype=np.int64)
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = pb.run(p, {"a": x}, interpret=True, the_plan=pl)["out"]
+    r = p.valid_rim()
+    assert np.array_equal(gold[r:-r, r:-r], got[r:-r, r:-r])
+
+    src2 = ("kernel: itd\niterate: 8\ninput double: a(128, *)\n"
+            "output double: out(0,0) = (a(-1,0) + a(1,0) + a(0,-1)"
+            " + a(0,1) + a(0,0)) * 0.2\n")
+    p2 = parse(src2)
+    pl2 = plan(p2, (256, 256))
+    assert pl2.groups[0].trapezoid
+    f = rng.standard_normal((256, 256))
+    gold2 = numpy_interp.run(p2, {"a": f})["out"]
+    got2 = pb.run(p2, {"a": f}, interpret=True, the_plan=pl2)["out"]
+    r2 = p2.valid_rim()
+    assert np.abs(gold2[r2:-r2, r2:-r2] - got2[r2:-r2, r2:-r2]).max() < 1e-11
+
+
 def test_pallas_wide_iterate_and_rank3():
     x = rng.integers(-2**45, 2**45, (32, 128), dtype=np.int64)
     g, o = run_both(
@@ -206,9 +240,16 @@ def test_plan_constrains_wide_strategies():
               "output int64: out(0,0) = a(0,-1) + a(0,1)\n")
     pl = plan(p, (512, 512))
     assert all(gp.strategy in ("windows", "strips") for gp in pl.groups)
-    assert all(gp.sweeps == 1 for gp in pl.groups)
+    assert all(gp.trapezoid or gp.sweeps == 1 for gp in pl.groups)
     pl2 = plan(p, (500, 512))  # unaligned leading dim -> no strips
     assert all(gp.strategy == "windows" for gp in pl2.groups)
+    # non-pow2 wide integer division: fused sweeps disabled (the 64-step
+    # pair long division per unrolled sweep explodes compile time)
+    p3 = parse("kernel: w3\niterate: 4\ninput int64: a(128, *)\n"
+               "output int64: out(0,0) = (a(0,-1) + a(0,1)) / int64(5)\n")
+    pl3 = plan(p3, (512, 512))
+    assert all(gp.sweeps == 1 for gp in pl3.groups)
+    assert any("compile-cost guard" in n for n in pl3.notes)
 
 
 def test_pallas_wide_strips_strategy():
