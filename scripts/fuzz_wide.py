@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Heavy fuzz for the in-kernel 64-bit wide mode: random expression trees
+over int64/uint64/double (casts both ways, dynamic shift amounts, pow2
+and general div/mod, min/max, ternaries, bitwise), random grids
+(aligned/unaligned), random iterate — Pallas (interpret) vs the 64-bit
+NumPy oracle.  Integers must be BIT-EXACT; doubles within double-single
+tolerance.  Not part of CI (takes minutes): run ad hoc after touching
+interp/wide64.py or the pair plumbing.
+
+    python scripts/fuzz_wide.py [n_seeds] [--hw]
+
+--hw additionally compiles a subsample on the attached TPU.
+"""
+
+import pathlib
+import random
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def gen(rng: random.Random) -> tuple[str, str, bool]:
+    """Random wide program; returns (source, base_type, low_mag).
+
+    Integer seeds split into two profiles: HIGH-magnitude (2^48 inputs,
+    exercising limb carries/high bits — no double() roundtrip casts, whose
+    double-single channel is only ~2^-48-accurate and amplifies through
+    ternaries) and LOW-magnitude (2^28 inputs — values stay below 2^47
+    where the i64<->f64 double-single channel is EXACT, so casts are
+    fair game for bit-exact comparison)."""
+    base = rng.choice(["int64", "uint64", "double"])
+    is_f = base == "double"
+    low_mag = (not is_f) and rng.random() < 0.5
+    lines = [f"kernel: fw", f"input {base}: a(64, *)"]
+    prev = ["a"]
+
+    def off():
+        return f"{rng.randint(-2, 2)}, {rng.randint(-2, 2)}"
+
+    def lit(v):
+        if is_f:
+            return f"{float(v)}"
+        return f"{base}({v})"
+
+    def term(src):
+        r = f"{src}({off()})"
+        k = rng.random()
+        if is_f:
+            if k < 0.2:
+                return f"{r} * {round(rng.uniform(-2, 2), 4)}"
+            if k < 0.3:
+                return f"abs({r})"
+            if k < 0.4:
+                return f"min({r}, {src}({off()}))"
+            if k < 0.5:
+                return f"({r} > 0.0 ? {r} : {src}({off()}))"
+            if k < 0.58:
+                return f"{r} / ({src}({off()}) * {src}({off()}) + 1.0)"
+            if k < 0.64:
+                return f"sqrt(abs({r}))"
+            if k < 0.7:
+                return f"double(int64({r}))"  # f64 -> i64 -> f64
+            return r
+        if k < 0.15:
+            return f"{r} * {lit(rng.randint(1, 9))}"
+        if k < 0.25:
+            return f"max({r}, {src}({off()}))"
+        if k < 0.35:
+            return f"({r} >> {rng.randint(0, 50)})"
+        if k < 0.42:
+            # dynamic shift amount (a tap value masked to [0, 16))
+            return f"({r} >> ({src}({off()}) & {lit(15)}))"
+        if k < 0.5:
+            return f"({r} > {lit(10)} ? {r} : {src}({off()}))"
+        if k < 0.58:
+            return f"{r} / {lit(2 ** rng.randint(1, 12))}"  # pow2 shift path
+        if k < 0.64:
+            return f"{r} % {lit(rng.randint(3, 10**6))}"    # long division
+        if k < 0.7:
+            return f"({r} & {lit(2 ** rng.randint(4, 40) - 1)})"
+        if k < 0.76 and low_mag:
+            return f"{base}(double({r}) * 0.5)"  # i64 -> f64 -> i64
+        return r
+
+    n_stages = rng.randint(1, 3)
+    for s in range(n_stages):
+        src = rng.choice(prev)
+        nterms = rng.randint(2, 4)
+        expr = " + ".join(term(src) for _ in range(nterms))
+        name = f"s{s}" if s + 1 < n_stages else "out"
+        kind = "local" if s + 1 < n_stages else "output"
+        lines.append(f"{kind} {base}: {name}(0, 0) = {expr}")
+        prev.append(name)
+    it = rng.choice([1, 1, 1, 2, 4])
+    if it > 1:
+        lines.insert(1, f"iterate: {it}")
+    return "\n".join(lines) + "\n", base, low_mag
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
+        else 40
+    hw = "--hw" in sys.argv
+
+    from soda_tpu.backend import pallas as pb
+    from soda_tpu.frontend.parser import parse
+    from soda_tpu.interp import numpy_interp
+
+    failures = 0
+    for seed in range(n):
+        rng = random.Random(910_000 + seed)
+        src, base, low_mag = gen(rng)
+        p = parse(src)
+        shape = rng.choice([(32, 128), (40, 128), (33, 130), (64, 256)])
+        nprng = np.random.default_rng(seed)
+        hi_bits = 28 if low_mag else 48
+        if base == "double":
+            x = nprng.standard_normal(shape) * 10.0
+        elif base == "int64":
+            x = nprng.integers(-2**hi_bits, 2**hi_bits, shape,
+                               dtype=np.int64)
+        else:
+            x = nprng.integers(0, 2**(hi_bits + 1), shape,
+                               dtype=np.uint64)
+        gold = numpy_interp.run(p, {"a": x})["out"]
+        rim = p.valid_rim()
+        sl = tuple(slice(rim, -rim) if rim else slice(None) for _ in range(2))
+        if gold[sl].size == 0:
+            continue
+        interp = not hw or seed % 8 != 0
+        try:
+            got = pb.run(p, {"a": x}, interpret=interp)["out"]
+        except Exception as e:  # noqa: BLE001
+            print(f"seed {seed}: RUN FAILED {type(e).__name__}: {e}\n{src}")
+            failures += 1
+            continue
+        if base == "double":
+            g = gold[sl]
+            o = got[sl]
+            denom = np.maximum(np.abs(g), 1.0)
+            ok = (np.abs(g - o) / denom).max() < 1e-10
+        else:
+            ok = np.array_equal(gold[sl], got[sl])
+        mode = "hw" if (hw and not interp) else "interp"
+        print(f"seed {seed} [{base}, {mode}]: {'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            print(src)
+            failures += 1
+    print(f"{failures} failures / {n} seeds")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -23,6 +23,10 @@ from ..interp.evaluator import EvalContext, eval_expr, store_cast
 
 def shifted_jnp(a: jax.Array, offsets: tuple[int, ...]) -> jax.Array:
     """out[i] = a[i + off], zero fill out of bounds (static shapes)."""
+    from ..interp.wide64 import W
+
+    if isinstance(a, W):  # 64-bit pair carrier: shift each plane
+        return a.map(lambda p: shifted_jnp(p, offsets))
     pads = [(max(-off, 0), max(off, 0)) for off in offsets]
     ap = jnp.pad(a, pads)
     out_slices = [

@@ -266,6 +266,13 @@ def eval_expr(e: ir.Expr, ctx: EvalContext) -> tuple[Any, ScalarType]:
                                    or t.width < ctx.int_width), t
             return _c_div(xp, a, b), t
         if op == "%":
+            if not t.is_float:
+                p2 = _const_pow2(e.rhs)
+                if p2 is not None:
+                    q = _c_div_pow2(ctx, a, p2,
+                                    signed=t.kind != "uint"
+                                    or t.width < ctx.int_width)
+                    return a - q * b, t
             if t.is_float:
                 # C fmod: exact remainder, sign of the dividend.  xp.fmod
                 # matches std::fmod bit-for-bit in numpy AND jnp (verified

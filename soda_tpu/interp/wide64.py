@@ -551,13 +551,17 @@ def _pair_to_ds(a: W) -> W:
     neg = _pair_is_neg(a) if a.rep == "i" else None
     m = _pair_abs(a) if a.rep == "i" else a
     c16 = np.uint32(0xFFFF)
+
+    def _chunk_f32(u):
+        # 16-bit chunk -> f32 via int32: Mosaic has no u32<->f32 casts
+        # (hardware-verified failure mode); the chunk fits i32 exactly
+        return u.astype(np.int32).astype(np.float32)
+
     parts = [
-        ((m.b >> np.uint32(16)).astype(np.float32),
-         np.float32(2.0 ** 48)),
-        ((m.b & c16).astype(np.float32), np.float32(2.0 ** 32)),
-        ((m.a >> np.uint32(16)).astype(np.float32),
-         np.float32(2.0 ** 16)),
-        ((m.a & c16).astype(np.float32), np.float32(1.0)),
+        (_chunk_f32(m.b >> np.uint32(16)), np.float32(2.0 ** 48)),
+        (_chunk_f32(m.b & c16), np.float32(2.0 ** 32)),
+        (_chunk_f32(m.a >> np.uint32(16)), np.float32(2.0 ** 16)),
+        (_chunk_f32(m.a & c16), np.float32(1.0)),
     ]
     acc = W("d", parts[0][0] * parts[0][1],
             xp.zeros_like(parts[0][0]), xp)
@@ -571,13 +575,14 @@ def _pair_to_ds(a: W) -> W:
 
 
 def _f32_int_to_u32(xp, f):
-    """Exact u32 of an integral f32 value in [0, 2^32) (the value may
-    exceed int32 range, and f32->u32 of 2^31.. is fine; split at 2^16 so
-    each converted chunk fits 24-bit-exact f32 -> u32)."""
+    """Exact u32 of an integral f32 value in [0, 2^32): split at 2^16 so
+    each chunk fits int32 (Mosaic has no f32<->u32 casts; f32->i32 of
+    sub-2^16 chunks is exact)."""
     two16 = np.float32(65536.0)
     top = xp.floor(f / two16)
     bot = f - top * two16  # exact (common ulp)
-    return (top.astype(np.uint32) << np.uint32(16)) + bot.astype(np.uint32)
+    return ((top.astype(np.int32).astype(np.uint32) << np.uint32(16))
+            + bot.astype(np.int32).astype(np.uint32))
 
 
 def _ds_to_pair(a: W, rep: str) -> W:

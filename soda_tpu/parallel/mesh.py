@@ -53,7 +53,12 @@ def halo_exchange(x: jax.Array, dim: int, lo: int, hi: int,
     zeros (ppermute non-received outputs are zero — matches the border
     convention).  Halos WIDER than one shard gather from k-hop neighbors
     with one ppermute per hop (ICI routes multi-hop; XLA can overlap the
-    independent sends)."""
+    independent sends).  64-bit pair carriers (interp/wide64.W) exchange
+    per plane — zero planes ARE the zero value."""
+    from ..interp.wide64 import W
+
+    if isinstance(x, W):
+        return x.map(lambda p: halo_exchange(p, dim, lo, hi, axis_name))
     n = jax.lax.axis_size(axis_name)
     n_loc = x.shape[dim]
     parts = []
@@ -158,6 +163,16 @@ def choose_exchange_cadence(
     return cad
 
 
+def _slice_dim(x, start, stop, axis):
+    """lax.slice_in_dim that maps over 64-bit pair carriers."""
+    from ..interp.wide64 import W
+
+    if isinstance(x, W):
+        return x.map(
+            lambda p: jax.lax.slice_in_dim(p, start, stop, axis=axis))
+    return jax.lax.slice_in_dim(x, start, stop, axis=axis)
+
+
 def build_sharded_fn(
     program: StencilProgram,
     mesh: Mesh,
@@ -186,18 +201,22 @@ def build_sharded_fn(
     run a NESTED exchange schedule — slowest axis outermost — and fall
     back to the synchronous (non-overlap) path."""
     it = max(program.iterate if iterate is None else iterate, 1)
-    from ..backend.xla import user_wide_types
+    from ..interp import wide64
 
-    # reject USER-declared >32-bit types (the mesh computes in 32-bit
-    # carriers and would silently truncate); synthetic compiler-generated
-    # int64 partial sums are fine — int32 compute matches the unrewritten
-    # program's documented TPU behavior
-    if user_wide_types(program):
+    # 64-bit programs shard as PLANE PAIRS: each wide tensor crosses the
+    # shard_map boundary as two 32-bit plane arrays, halo-exchanged per
+    # plane, and the local compute runs the pair-carrier evaluator
+    # (exact s64/u64, double-single f64 — same as the Pallas wide mode).
+    # Synthetic compiler-generated int64 partial sums in 32-bit programs
+    # keep int32 local compute (documented).
+    wide = wide64.program_is_wide(program)
+    if wide and local_backend == "pallas":
         raise NotImplementedError(
-            f"program {program.name!r} uses >32-bit types: the sharded mesh "
-            "path computes in 32-bit carriers and would silently truncate; "
-            "use the single-chip XLA backend (64-bit wide mode) or the "
-            "oracles")
+            f"program {program.name!r} uses 64-bit types: the mesh's "
+            "pallas local backend is host-driven for pair carriers and "
+            "cannot trace under shard_map; use local_backend='xla'")
+    if wide and overlap:
+        overlap = False  # strip-geometry overlap is not pair-aware
     axis_names = mesh.axis_names
     if dims is None:
         dims = tuple(range(len(axis_names)))
@@ -273,14 +292,21 @@ def build_sharded_fn(
 
     tspec = spec_for_tensor()
 
+    def _eval_ctx(tap, params):
+        if wide:
+            return EvalContext(program=program, xp=wide64.WideXP(jnp),
+                               tap=tap, params=params, int_width=64,
+                               tpu_wide=True)
+        return EvalContext(program=program, xp=jnp, tap=tap,
+                           params=params, int_width=32)
+
     def sweeps_on(arrs: dict, params: dict) -> dict:
         """nf zero-fill sweeps on whatever extents `arrs` has (XLA path)."""
         out = dict(arrs)
         for s in range(nf):
-            ctx = EvalContext(
-                program=program, xp=jnp,
-                tap=lambda name, off: xla_backend.shifted_jnp(out[name], off),
-                params=params, int_width=32)
+            ctx = _eval_ctx(
+                lambda name, off: xla_backend.shifted_jnp(out[name], off),
+                params)
             for name in program.stage_order():
                 t = program.tensors[name]
                 v, vt = eval_expr(t.expr, ctx)
@@ -401,15 +427,24 @@ def build_sharded_fn(
         for n in out_names:
             x = arrs[n]
             for d, (lo, hi, _ax) in halos.items():
-                x = jax.lax.slice_in_dim(x, lo, x.shape[d] - hi, axis=d)
+                x = _slice_dim(x, lo, x.shape[d] - hi, d)
             out[n] = x
         return out
 
+    def _local_cast(inputs: dict) -> dict:
+        out = {}
+        for n in program.input_names:
+            v = inputs[n]
+            if isinstance(v, wide64.W):
+                out[n] = v  # pair carriers are already in compute form
+            else:
+                out[n] = jnp.asarray(
+                    v, jnp.float32 if program.tensors[n].type.is_float
+                    else jnp.int32)
+        return out
+
     def local_fn(inputs: dict, params: dict) -> dict:
-        arrays = {n: jnp.asarray(inputs[n],
-                                 jnp.float32 if program.tensors[n].type.is_float
-                                 else jnp.int32)
-                  for n in program.input_names}
+        arrays = _local_cast(inputs)
         outs = local_chunk(arrays, params)
         for _ in range(it // nf - 1):
             nxt = {n: arrays[n] for n in program.input_names}
@@ -439,11 +474,9 @@ def build_sharded_fn(
                 return pfn(arrs, params)
             out = dict(arrs)
             for s in range(n):
-                ctx = EvalContext(
-                    program=program, xp=jnp,
-                    tap=lambda name, off: xla_backend.shifted_jnp(
-                        out[name], off),
-                    params=params, int_width=32)
+                ctx = _eval_ctx(
+                    lambda name, off: xla_backend.shifted_jnp(
+                        out[name], off), params)
                 for name in program.stage_order():
                     t = program.tensors[name]
                     v, vt = eval_expr(t.expr, ctx)
@@ -472,31 +505,92 @@ def build_sharded_fn(
                 ext = {n: halo_exchange(x, d, lo, hi, ax)
                        for n, x in cur.items()}
                 res = run_level(ext, level + 1, k, params)
-                outs = {n: (jax.lax.slice_in_dim(
-                            res[n], lo, res[n].shape[d] - hi, axis=d)
+                outs = {n: (_slice_dim(res[n], lo,
+                                       res[n].shape[d] - hi, d)
                             if lo or hi else res[n])
                         for n in out_names}
             return outs
 
         def local_fn_nested(inputs: dict, params: dict) -> dict:
-            arrays = {
-                n: jnp.asarray(inputs[n],
-                               jnp.float32
-                               if program.tensors[n].type.is_float
-                               else jnp.int32)
-                for n in program.input_names}
-            return run_level(arrays, 0, it, params)
+            return run_level(_local_cast(inputs), 0, it, params)
 
         local_fn = local_fn_nested
 
-    sharded = jax.shard_map(
-        local_fn,
+    if not wide:
+        sharded = jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=({n: tspec for n in program.input_names}, params_spec),
+            out_specs={n: tspec for n in out_names},
+            check_vma=False,
+        )
+        return sharded
+
+    # ---- 64-bit plane boundary: wide tensors cross shard_map as two
+    # 32-bit plane arrays (n//lo, n//hi); the local fn wraps them into
+    # pair carriers and unwraps its outputs ---------------------------
+    def _keys(n):
+        return ((n + "//lo", n + "//hi")
+                if wide64.is_wide(program.tensors[n].type) else (n,))
+
+    inner_fn = local_fn
+
+    def local_fn_planes(pinputs: dict, params: dict) -> dict:
+        vals = {}
+        for n in program.input_names:
+            t = program.tensors[n].type
+            if wide64.is_wide(t):
+                vals[n] = wide64.wrap_planes(
+                    t, pinputs[n + "//lo"], pinputs[n + "//hi"], jnp)
+            else:
+                vals[n] = pinputs[n]
+        outs = inner_fn(vals, params)
+        pouts = {}
+        for n in out_names:
+            t = program.tensors[n].type
+            if wide64.is_wide(t):
+                lo, hi = wide64.unwrap_planes(
+                    t, outs[n].astype(t.np_dtype()))
+                pouts[n + "//lo"], pouts[n + "//hi"] = lo, hi
+            else:
+                pouts[n] = outs[n]
+        return pouts
+
+    in_keys = [k for n in program.input_names for k in _keys(n)]
+    out_keys = [k for n in out_names for k in _keys(n)]
+    sharded_planes = jax.jit(jax.shard_map(
+        local_fn_planes,
         mesh=mesh,
-        in_specs=({n: tspec for n in program.input_names}, params_spec),
-        out_specs={n: tspec for n in out_names},
+        in_specs=({k: tspec for k in in_keys}, params_spec),
+        out_specs={k: tspec for k in out_keys},
         check_vma=False,
-    )
-    return sharded
+    ))
+
+    def sharded_wide(inputs: dict, params: dict) -> dict:
+        import numpy as np
+
+        pin = {}
+        for n in program.input_names:
+            t = program.tensors[n].type
+            if wide64.is_wide(t):
+                lo, hi = wide64.split_planes(np.asarray(inputs[n]))
+                pin[n + "//lo"] = jnp.asarray(lo)
+                pin[n + "//hi"] = jnp.asarray(hi)
+            else:
+                pin[n] = inputs[n]
+        pouts = sharded_planes(pin, params)
+        res = {}
+        for n in out_names:
+            t = program.tensors[n].type
+            if wide64.is_wide(t):
+                res[n] = wide64.merge_planes(
+                    np.asarray(pouts[n + "//lo"]),
+                    np.asarray(pouts[n + "//hi"]), t.np_dtype())
+            else:
+                res[n] = pouts[n]
+        return res
+
+    return sharded_wide
 
 
 def run_sharded(
@@ -531,10 +625,16 @@ def run_sharded(
         sweeps_per_exchange=sweeps_per_exchange, grid_shape=grid_shape,
         local_backend=local_backend, interpret=interpret, overlap=overlap,
         link_classes=link_classes)
-    if jit:
-        fn = jax.jit(fn)
     from ..backend.pallas import finalize_outputs
+    from ..interp.wide64 import program_is_wide
 
     params = {k: jnp.asarray(v) for k, v in (params or {}).items()}
-    outs = fn({k: jnp.asarray(v) for k, v in inputs.items()}, params)
+    if program_is_wide(program):
+        # wide wrapper splits/merges 64-bit planes on the host (numpy);
+        # the inner plane-level shard_map is already jitted
+        outs = fn({k: np.asarray(v) for k, v in inputs.items()}, params)
+    else:
+        if jit:
+            fn = jax.jit(fn)
+        outs = fn({k: jnp.asarray(v) for k, v in inputs.items()}, params)
     return finalize_outputs(program, outs)

@@ -71,8 +71,8 @@ def _has_heavy_int_div(program: StencilProgram) -> bool:
             continue
         for n in ir_expr.walk(t.expr):
             if isinstance(n, ir_expr.BinOp) and n.op in ("/", "%"):
-                if n.op == "/" and _const_pow2(n.rhs) is not None:
-                    continue
+                if _const_pow2(n.rhs) is not None:
+                    continue  # shift-optimized for both / and %
                 return True
     return False
 

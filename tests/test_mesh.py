@@ -231,15 +231,53 @@ def test_multihop_halo_exchange():
     check(p2, got2, gold2, rim=p2.valid_rim(iterate=8))
 
 
-def test_mesh_rejects_wide_programs():
-    """Review r2: the sharded path computes in 32-bit carriers; >32-bit
-    programs must be rejected loudly, not silently truncated."""
+def test_mesh_wide_i64_bit_exact():
+    """Round 2: 64-bit programs shard as plane pairs — per-plane ppermute
+    halo exchange + pair-carrier local compute — bit-exact vs the int64
+    oracle (the old loud rejection is gone; only the pallas LOCAL backend
+    still rejects, being host-driven for pairs)."""
     from soda_tpu.frontend.parser import parse
 
-    p = parse("kernel: w\ninput int64: a(64, *)\n"
-              "output int64: out(0,0) = a(0,0) + a(0,1)\n")
-    with pytest.raises(NotImplementedError, match="wide mode"):
-        run_sharded(p, {"a": np.ones((8, 128), np.int64)}, axis_sizes=[4])
+    src = ("kernel: m64\niterate: 4\ninput int64: a(128, *)\n"
+           "output int64: out(0,0) = a(-1,0) + a(1,0) * int64(3)"
+           " + (a(0,-1) >> 2) + a(0,1)\n")
+    p = parse(src)
+    x = np.random.default_rng(0).integers(-2**48, 2**48, (64, 128),
+                                          dtype=np.int64)
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = run_sharded(p, {"a": x}, axis_sizes=[8])["out"]
+    r = p.valid_rim()
+    assert got.dtype == np.int64
+    assert np.array_equal(gold[r:-r, r:-r], got[r:-r, r:-r])
+    with pytest.raises(NotImplementedError, match="local_backend"):
+        run_sharded(p, {"a": x}, axis_sizes=[8], local_backend="pallas",
+                    interpret=True)
+
+
+def test_mesh_wide_f64_and_nested_cadence():
+    """double over a 2-D mesh (double-single local compute, ~1e-13) and
+    int64 under the nested multi-slice cadence schedule (bit-exact)."""
+    from soda_tpu.frontend.parser import parse
+
+    p2 = parse_file(SODA / "poisson_f64.soda")
+    f = np.random.default_rng(1).standard_normal((64, 96))
+    gold2 = numpy_interp.run(p2, {"u": f})["r"]
+    mesh = make_mesh([2, 4], ["dcn", "x"])
+    got2 = run_sharded(p2, {"u": f}, mesh=mesh)["r"]
+    assert got2.dtype == np.float64
+    assert np.abs(gold2[1:-1, 1:-1] - got2[1:-1, 1:-1]).max() < 1e-11
+
+    src3 = ("kernel: mw\niterate: 8\ninput int64: a(128, *)\n"
+            "output int64: out(0,0) = a(-1,0) + a(1,0) + a(0,-1)"
+            " + a(0,1)\n")
+    p3 = parse(src3)
+    x3 = np.random.default_rng(2).integers(-2**40, 2**40, (64, 96),
+                                           dtype=np.int64)
+    gold3 = numpy_interp.run(p3, {"a": x3})["out"]
+    got3 = run_sharded(p3, {"a": x3}, mesh=mesh,
+                       sweeps_per_exchange={"dcn": 4, "x": 2})["out"]
+    r3 = p3.valid_rim()
+    assert np.array_equal(gold3[r3:-r3, r3:-r3], got3[r3:-r3, r3:-r3])
 
 
 def test_overlap_multihop_falls_back():
