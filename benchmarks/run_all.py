@@ -33,6 +33,7 @@ CONFIGS = [
     ("heat3d", (256, 256, 256), None),         # iterate 4
     ("denoise3d", (256, 256, 256), None),
     ("gradmag3d", (256, 256, 512), None),
+    ("smooth_half", (4096, 4096), None),       # 2 B/cell f16-bit streaming
     ("accum64", (2048, 2048), None),           # in-kernel s64 pair carriers
     ("poisson_f64", (2048, 2048), None),       # in-kernel double-single f64
 ]

@@ -41,7 +41,7 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
     sublane concat/slice is tile-aligned (round 1's unaligned variant hung
     Mosaic)."""
     from .pallas import (_eval_group, _group_params, _io_dtype,
-                         _param_ops, _read_params)
+                         _param_ops, _read_params, _to_io)
 
     bh, W = g.block
     H, _ = grid_shape
@@ -133,7 +133,7 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
     def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
         ops = []
         for n in g.external_inputs:
-            ops.append(jnp.asarray(values[n], _io_dtype(program, n)))
+            ops.append(_to_io(program, n, values[n]))
         ops.extend(_param_ops(program, param_names, params))
         outs = call(*ops)
         if len(g.outputs) == 1:
@@ -146,7 +146,7 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
 def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
                               grid_shape: tuple[int, ...],
                               interpret: bool = False):
-    from .pallas import (_group_params, _io_dtype, _param_ops,
+    from .pallas import (_group_params, _io_dtype, _param_ops, _to_io,
                          _read_params, _shift_all)
 
     rank = program.rank
@@ -296,7 +296,7 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
     def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
         ops = []
         for n in g.external_inputs:
-            x = jnp.asarray(values[n], _io_dtype(program, n))
+            x = _to_io(program, n, values[n])
             ops.extend([x] * npieces)
         ops.extend(_param_ops(program, param_names, params))
         outs = call(*ops)

@@ -44,8 +44,89 @@ def _compute_dtype(program: StencilProgram, name: str):
 
 def _io_dtype(program: StencilProgram, name: str):
     """HBM storage dtype: narrow ints in 16-bit containers (halves HBM
-    traffic vs int32; the reference streams uint16 at 2 B/cell)."""
+    traffic vs int32; the reference streams uint16 at 2 B/cell).  `half`
+    streams as uint16 IEEE-f16 BIT PATTERNS (Mosaic has no f16 vector
+    type on v5e — hardware-probed) decoded/encoded in-kernel."""
+    if _is_half(program, name):
+        return jnp.uint16
     return program.tensors[name].type.tpu_storage_dtype()
+
+
+def _to_io(program: StencilProgram, name: str, x) -> jax.Array:
+    """Host-side conversion of an input value to its HBM io form."""
+    import numpy as np
+
+    if _is_half(program, name):
+        if isinstance(x, np.ndarray):
+            if x.dtype == np.uint16:
+                return jnp.asarray(x)
+            return jnp.asarray(np.asarray(x, np.float16).view(np.uint16))
+        x = jnp.asarray(x)
+        if x.dtype == jnp.uint16:
+            return x
+        if x.dtype == jnp.float16:
+            return jax.lax.bitcast_convert_type(x, jnp.uint16)
+        return f16_bits_encode(x.astype(jnp.float32)).astype(jnp.uint16)
+    return jnp.asarray(x, _io_dtype(program, name))
+
+
+def f16_bits_decode(u: jax.Array) -> jax.Array:
+    """IEEE f16 bit pattern (uint16/uint32 low half) -> float32, exact for
+    normals, subnormals, ±0, ±inf and NaN.  Mosaic on v5e has no f16
+    vector type (hardware-probed), so `half` tensors stream as uint16 bit
+    patterns (2 B/cell) and decode in-kernel: shift the exponent/mantissa
+    into f32 position, rebias, and fix the specials — the subnormal case
+    renormalizes via an exact magic-constant subtract."""
+    u = u.astype(jnp.uint32)
+    sign = (u & jnp.uint32(0x8000)) << jnp.uint32(16)
+    em = (u & jnp.uint32(0x7FFF)) << jnp.uint32(13)
+    exp = em & jnp.uint32(0x0F800000)  # f16 exponent field, f32 position
+    bits = em + jnp.uint32((127 - 15) << 23)
+    # inf/nan: add the remaining exponent difference ON TOP of the rebias
+    bits = jnp.where(exp == jnp.uint32(0x0F800000),
+                     bits + jnp.uint32((128 - 16) << 23), bits)
+    # zero/subnormal: renormalize.  The magic is bits (113<<23) as float
+    # = 2^-14, written literally: Mosaic rejects SCALAR tpu.bitcast
+    # (vector-only — hardware-probed)
+    magic = jnp.float32(2.0 ** -14)
+    sub = jax.lax.bitcast_convert_type(
+        em + jnp.uint32(1 << 23) + jnp.uint32((127 - 15) << 23),
+        jnp.float32) - magic
+    f = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    f = jnp.where(exp == 0, sub, f)
+    return jax.lax.bitcast_convert_type(
+        sign | jax.lax.bitcast_convert_type(f, jnp.uint32), jnp.float32)
+
+
+def f16_bits_encode(f: jax.Array) -> jax.Array:
+    """float32 -> IEEE f16 bit pattern (uint32 low half), round-to-nearest
+    -even, exact incl. subnormals, overflow->inf and NaN (matches numpy's
+    f32->f16 cast bit-for-bit — tested)."""
+    u = jax.lax.bitcast_convert_type(f.astype(jnp.float32), jnp.uint32)
+    sign = u & jnp.uint32(0x80000000)
+    u = u ^ sign
+    f16max = jnp.uint32((127 + 16) << 23)
+    f32infty = jnp.uint32(255 << 23)
+    # normal path: rebias with mantissa-odd RNE nudge
+    mant_odd = (u >> jnp.uint32(13)) & jnp.uint32(1)
+    un = u + jnp.uint32(0xC8000FFF) + mant_odd  # ((15-127)<<23) + 0xfff
+    normal = un >> jnp.uint32(13)
+    # subnormal path: exact via magic float add.  denorm_magic's float
+    # value is 2^(126-127) = 0.5, written literally (no scalar bitcast
+    # in Mosaic)
+    denorm_magic = jnp.uint32(((127 - 15) + (23 - 10) + 1) << 23)
+    fd = jax.lax.bitcast_convert_type(u, jnp.float32) + jnp.float32(0.5)
+    subn = jax.lax.bitcast_convert_type(fd, jnp.uint32) - denorm_magic
+    out = jnp.where(u < jnp.uint32(113 << 23), subn, normal)
+    out = jnp.where(u >= f16max,
+                    jnp.where(u > f32infty, jnp.uint32(0x7E00),
+                              jnp.uint32(0x7C00)), out)
+    return out | (sign >> jnp.uint32(16))
+
+
+def _is_half(program: StencilProgram, name: str) -> bool:
+    t = program.tensors[name].type
+    return t.is_float and t.width == 16
 
 
 def _lane_shift(a: jax.Array, off: int) -> jax.Array:
@@ -163,6 +244,13 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
     rank = program.rank
     block = g.block
 
+    # `half` tensors arrive as uint16 f16 bit patterns: decode once into
+    # f32 working values (encode again at the output stores)
+    for _n in list(values):
+        v = values[_n]
+        if _is_half(program, _n) and getattr(v, "dtype", None) == jnp.uint16:
+            values[_n] = f16_bits_decode(v)
+
     def origin(name: str) -> tuple[int, ...]:
         if name in g.halo:  # external input: aligned halo
             return tuple(-g.halo[name][d][0] for d in range(rank - 1))
@@ -229,6 +317,8 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
                 ref[1][:] = hi.astype(ref[1].dtype)
             elif wide:
                 ref[:] = v.astype(ref.dtype).a
+            elif _is_half(program, name) and ref.dtype == jnp.uint16:
+                ref[:] = f16_bits_encode(v).astype(jnp.uint16)
             else:
                 ref[:] = v.astype(ref.dtype)
     elif g.trapezoid:
@@ -312,6 +402,9 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
             out_refs[0][1][:] = hi.astype(out_refs[0][1].dtype)
         elif wide:
             out_refs[0][:] = vals[fb].astype(out_refs[0].dtype).a
+        elif (_is_half(program, out_name)
+              and out_refs[0].dtype == jnp.uint16):
+            out_refs[0][:] = f16_bits_encode(vals[fb]).astype(jnp.uint16)
         else:
             out_refs[0][:] = vals[fb].astype(out_refs[0].dtype)
     else:
@@ -347,7 +440,11 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
         center = tuple(
             slice(h[d][0], h[d][0] + block[d]) for d in range(rank - 1)
         ) + (slice(None),)
-        out_refs[0][:] = a[center].astype(out_refs[0].dtype)
+        if (_is_half(program, out_name)
+                and out_refs[0].dtype == jnp.uint16):
+            out_refs[0][:] = f16_bits_encode(a[center]).astype(jnp.uint16)
+        else:
+            out_refs[0][:] = a[center].astype(out_refs[0].dtype)
 
 
 def _build_kernel(program: StencilProgram, g: GroupPlan):
@@ -589,7 +686,7 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
                 for _ in kinds_for(name):
                     ops.extend(planes)
             else:
-                x = jnp.asarray(values[name], _io_dtype(program, name))
+                x = _to_io(program, name, values[name])
                 ops.extend([x] * len(kinds_for(name)))
         ops.extend(_param_ops(program, param_names, params))
         outs = call(*ops)
@@ -686,19 +783,28 @@ def _apply_rims(program: StencilProgram, g: GroupPlan,
         in_lo = min(in_lo,
                     max(grid_shape[d] - _round_up(grid_shape[d] - in_lo, 8),
                         0))
+        def _val(n):
+            x = jnp.asarray(values[n])
+            if _is_half(program, n) and x.dtype == jnp.uint16:
+                x = f16_bits_decode(x)  # chained-group half io is f16 bits
+            return x
+
         slab_ins = {
-            n: jax.lax.slice_in_dim(jnp.asarray(values[n]),
-                                    in_lo, grid_shape[d], axis=d)
+            n: jax.lax.slice_in_dim(_val(n), in_lo, grid_shape[d], axis=d)
             for n in g.external_inputs
         }
         slab_outs = _eval_group_slab(program, g, slab_ins, params)
         for n in g.outputs:
             rim = jax.lax.slice_in_dim(
                 slab_outs[n], keep_lo - in_lo, slab_outs[n].shape[d], axis=d)
+            if _is_half(program, n) and outs[n].dtype == jnp.uint16:
+                rim = f16_bits_encode(rim).astype(jnp.uint16)
+            else:
+                rim = rim.astype(outs[n].dtype)
             start = [0] * rank
             start[d] = keep_lo
             outs[n] = jax.lax.dynamic_update_slice(
-                outs[n], rim.astype(outs[n].dtype), tuple(start))
+                outs[n], rim, tuple(start))
     return outs
 
 
@@ -798,7 +904,7 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
                     ops.append(_pad_input(jnp.asarray(plane), g.halo[name],
                                           block, g.grid, grid_shape, rank))
             else:
-                x = jnp.asarray(values[name], _io_dtype(program, name))
+                x = _to_io(program, name, values[name])
                 ops.append(_pad_input(x, g.halo[name], block, g.grid,
                                       grid_shape, rank))
         ops.extend(_param_ops(program, group_param_names, params))
@@ -939,6 +1045,10 @@ def finalize_outputs(program: StencilProgram, outs) -> dict:
     for n, v in outs.items():
         t = program.tensors[n].type
         a = np.asarray(v)
+        if t.is_float and t.width == 16 and a.dtype == np.uint16:
+            # Pallas half io: uint16 IEEE-f16 bit patterns
+            res[n] = a.view(np.float16)
+            continue
         if t.is_int and t.needs_mask:
             a = a & ((1 << t.width) - 1)
             if t.kind == "int":

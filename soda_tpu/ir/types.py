@@ -122,6 +122,10 @@ class ScalarType:
     @property
     def tpu_storage_bytes(self) -> int:
         if self.kind == "float":
+            # half streams as uint16 f16 bit patterns on the Pallas path
+            # (in-kernel decode/encode — backend/pallas.py f16_bits_*)
+            if self.width == 16:
+                return 2
             return 8 if self.width == 64 else 4
         if self.width <= 8:
             return 1
