@@ -173,6 +173,19 @@ def _slice_dim(x, start, stop, axis):
     return jax.lax.slice_in_dim(x, start, stop, axis=axis)
 
 
+def _dus(x, upd, start):
+    """dynamic_update_slice that maps over 64-bit pair carriers."""
+    from ..interp.wide64 import W
+
+    if isinstance(x, W):
+        return W(x.rep,
+                 jax.lax.dynamic_update_slice(
+                     x.a, upd.a.astype(x.a.dtype), start),
+                 jax.lax.dynamic_update_slice(
+                     x.b, upd.b.astype(x.b.dtype), start), x.xp)
+    return jax.lax.dynamic_update_slice(x, upd.astype(x.dtype), start)
+
+
 def build_sharded_fn(
     program: StencilProgram,
     mesh: Mesh,
@@ -215,8 +228,6 @@ def build_sharded_fn(
             f"program {program.name!r} uses 64-bit types: the mesh's "
             "pallas local backend is host-driven for pair carriers and "
             "cannot trace under shard_map; use local_backend='xla'")
-    if wide and overlap:
-        overlap = False  # strip-geometry overlap is not pair-aware
     axis_names = mesh.axis_names
     if dims is None:
         dims = tuple(range(len(axis_names)))
@@ -356,12 +367,12 @@ def build_sharded_fn(
             slabs = []
             if lo > 0:
                 slabs.append(("lo", {
-                    n: jax.lax.slice_in_dim(x, 0, 2 * lo + hi, axis=d)
+                    n: _slice_dim(x, 0, 2 * lo + hi, d)
                     for n, x in ext.items()}))
             if hi > 0:
                 slabs.append(("hi", {
-                    n: jax.lax.slice_in_dim(
-                        x, x.shape[d] - (2 * hi + lo), x.shape[d], axis=d)
+                    n: _slice_dim(x, x.shape[d] - (2 * hi + lo),
+                                  x.shape[d], d)
                     for n, x in ext.items()}))
             for side, slab_in in slabs:
                 slab_out = sweeps_on(slab_in, params)
@@ -370,20 +381,17 @@ def build_sharded_fn(
                     # crop other sharded dims to their shard centers
                     for e, (lo_e, hi_e, _axe) in halos.items():
                         if e != d:
-                            v = jax.lax.slice_in_dim(
-                                v, lo_e, lo_e + shard[e], axis=e)
+                            v = _slice_dim(v, lo_e, lo_e + shard[e], e)
                     sz = v.shape[d]
                     if side == "lo":
-                        strip = jax.lax.slice_in_dim(v, lo, 2 * lo, axis=d)
+                        strip = _slice_dim(v, lo, 2 * lo, d)
                         pos = 0
                     else:
-                        strip = jax.lax.slice_in_dim(
-                            v, sz - 2 * hi, sz - hi, axis=d)
+                        strip = _slice_dim(v, sz - 2 * hi, sz - hi, d)
                         pos = shard[d] - hi
                     start = [0] * program.rank
                     start[d] = pos
-                    out[n] = jax.lax.dynamic_update_slice(
-                        out[n], strip.astype(out[n].dtype), tuple(start))
+                    out[n] = _dus(out[n], strip, tuple(start))
         return out
 
     def local_chunk(arrays: dict, params: dict) -> dict:

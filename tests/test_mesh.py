@@ -385,3 +385,26 @@ def test_uniform_mapping_cadence_uses_flat_path():
     got = run_sharded(p, {"t0": x}, mesh=mesh,
                       sweeps_per_exchange={"dcn": 2, "x": 2}, overlap=True)
     check(p, got, gold)
+
+
+def test_mesh_wide_overlap_equals_synchronous():
+    """Round 2 follow-up: the comms/compute overlap path is pair-aware
+    (per-plane strip slicing + dynamic-update-slice) — wide overlap ==
+    synchronous == oracle on 1-D and 2-D meshes, bit-exact."""
+    from soda_tpu.frontend.parser import parse
+
+    src = ("kernel: m64o\niterate: 4\ninput int64: a(128, *)\n"
+           "output int64: out(0,0) = a(-1,0) + a(1,0) * int64(3)"
+           " + (a(0,-1) >> 2) + a(0,1)\n")
+    p = parse(src)
+    x = np.random.default_rng(0).integers(-2**48, 2**48, (64, 128),
+                                          dtype=np.int64)
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got_s = run_sharded(p, {"a": x}, axis_sizes=[8])["out"]
+    got_o = run_sharded(p, {"a": x}, axis_sizes=[8], overlap=True)["out"]
+    assert np.array_equal(got_s, got_o)
+    r = p.valid_rim()
+    assert np.array_equal(gold[r:-r, r:-r], got_o[r:-r, r:-r])
+    mesh = make_mesh([2, 4], ["y", "x"])
+    got_o2 = run_sharded(p, {"a": x}, mesh=mesh, overlap=True)["out"]
+    assert np.array_equal(gold[r:-r, r:-r], got_o2[r:-r, r:-r])
