@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Heavy fuzz for the in-kernel 64-bit wide mode: random expression trees
-over int64/uint64/double (casts both ways, dynamic shift amounts, pow2
+over int64/uint64/double/half (casts both ways, dynamic shift amounts, pow2
 and general div/mod, min/max, ternaries, bitwise), random grids
 (aligned/unaligned), random iterate — Pallas (interpret) vs the 64-bit
 NumPy oracle.  Integers must be BIT-EXACT; doubles within double-single
@@ -30,8 +30,8 @@ def gen(rng: random.Random) -> tuple[str, str, bool]:
     ternaries) and LOW-magnitude (2^28 inputs — values stay below 2^47
     where the i64<->f64 double-single channel is EXACT, so casts are
     fair game for bit-exact comparison)."""
-    base = rng.choice(["int64", "uint64", "double"])
-    is_f = base == "double"
+    base = rng.choice(["int64", "uint64", "double", "half"])
+    is_f = base in ("double", "half")
     low_mag = (not is_f) and rng.random() < 0.5
     lines = [f"kernel: fw", f"input {base}: a(64, *)"]
     prev = ["a"]
@@ -57,10 +57,14 @@ def gen(rng: random.Random) -> tuple[str, str, bool]:
             if k < 0.5:
                 return f"({r} > 0.0 ? {r} : {src}({off()}))"
             if k < 0.58:
-                return f"{r} / ({src}({off()}) * {src}({off()}) + 1.0)"
+                # denominator is a SQUARE + 1 (>= 1): x*y + 1 can pass
+                # arbitrarily close to zero, where the documented
+                # DS/f16 precision channels amplify unboundedly
+                d = f"{src}({off()})"
+                return f"{r} / ({d} * {d} + 1.0)"
             if k < 0.64:
                 return f"sqrt(abs({r}))"
-            if k < 0.7:
+            if k < 0.7 and base == "double":
                 return f"double(int64({r}))"  # f64 -> i64 -> f64
             return r
         if k < 0.15:
@@ -116,7 +120,12 @@ def main() -> int:
         shape = rng.choice([(32, 128), (40, 128), (33, 130), (64, 256)])
         nprng = np.random.default_rng(seed)
         hi_bits = 28 if low_mag else 48
-        if base == "double":
+        if base == "half":
+            # small values: mid-chain f16 overflow-to-inf in the per-op
+            # oracle vs finite f32 kernel compute is a documented
+            # deviation, not a bug signal
+            x = (nprng.standard_normal(shape) * 0.5).astype(np.float16)
+        elif base == "double":
             x = nprng.standard_normal(shape) * 10.0
         elif base == "int64":
             x = nprng.integers(-2**hi_bits, 2**hi_bits, shape,
@@ -136,11 +145,14 @@ def main() -> int:
             print(f"seed {seed}: RUN FAILED {type(e).__name__}: {e}\n{src}")
             failures += 1
             continue
-        if base == "double":
-            g = gold[sl]
-            o = got[sl]
+        if base in ("double", "half"):
+            g = gold[sl].astype(np.float64)
+            o = got[sl].astype(np.float64)
             denom = np.maximum(np.abs(g), 1.0)
-            ok = (np.abs(g - o) / denom).max() < 1e-10
+            # half: oracle rounds per op, kernel computes f32 between
+            # f16-rounded stores (docs/SEMANTICS.md) — f16-scale gate
+            tol = 3e-2 if base == "half" else 1e-10
+            ok = (np.abs(g - o) / denom).max() < tol
         else:
             ok = np.array_equal(gold[sl], got[sl])
         mode = "hw" if (hw and not interp) else "interp"
