@@ -718,19 +718,53 @@ def _eval_group_slab(program: StencilProgram, g: GroupPlan,
     to width-1 lane slices whose layout preference makes XLA pick a
     transposed entry layout and wrap the main custom call in full
     transposing copies (verified on v5e)."""
+    from ..interp import wide64
     from .xla import shifted_jnp
+
+    wide = wide64.program_is_wide(program)
+
+    def _tapv(vals, p, off):
+        v = vals[p]
+        if not isinstance(v, wide64.W):
+            v = jnp.asarray(v)
+        return shifted_jnp(v, off)
+
+    def _ctx(params):
+        if wide:
+            return EvalContext(program=program, xp=wide64.WideXP(jnp),
+                               tap=None, params=params, int_width=64,
+                               tpu_wide=True)
+        return EvalContext(program=program, xp=jnp, tap=None,
+                           params=params, int_width=32)
 
     if g.sweeps == 1:
         vals = dict(ins)
-        ctx = EvalContext(
-            program=program, xp=jnp,
-            tap=lambda p, off: shifted_jnp(jnp.asarray(vals[p]), off),
-            params=params, int_width=32)
+        ctx = _ctx(params)
+        ctx.tap = lambda p, off: _tapv(vals, p, off)
         for name in g.stages:
             t = program.tensors[name]
             v, vt = eval_expr(t.expr, ctx)
             vals[name] = store_cast(ctx, v, vt, t.type)
         return {n: vals[n] for n in g.outputs}
+    if wide:
+        # pair carriers: W is not a fori pytree — Python-loop the sweeps
+        # (<= TRAPEZOID_MAX_SWEEPS by the planner)
+        fb = (program.input_names[0] if program.input_names[0] in ins
+              else g.external_inputs[0])
+        out_name = g.outputs[0]
+        aux = {n: v for n, v in ins.items() if n != fb}
+        a = ins[fb]
+        for _ in range(g.sweeps):
+            vals = dict(aux)
+            vals[fb] = a
+            ctx = _ctx(params)
+            ctx.tap = lambda p, off: _tapv(vals, p, off)
+            for name in g.stages:
+                t = program.tensors[name]
+                v, vt = eval_expr(t.expr, ctx)
+                vals[name] = store_cast(ctx, v, vt, t.type)
+            a = vals[out_name]
+        return {out_name: a}
     fb = (program.input_names[0] if program.input_names[0] in ins
           else g.external_inputs[0])
     out_name = g.outputs[0]
@@ -783,26 +817,56 @@ def _apply_rims(program: StencilProgram, g: GroupPlan,
         in_lo = min(in_lo,
                     max(grid_shape[d] - _round_up(grid_shape[d] - in_lo, 8),
                         0))
+        from ..interp import wide64
+
         def _val(n):
+            t = program.tensors[n].type
+            if wide64.is_wide(t):
+                import numpy as np
+
+                lo, hi = wide64.split_planes(np.asarray(values[n]))
+                return wide64.wrap_planes(t, jnp.asarray(lo),
+                                          jnp.asarray(hi), jnp)
             x = jnp.asarray(values[n])
             if _is_half(program, n) and x.dtype == jnp.uint16:
                 x = f16_bits_decode(x)  # chained-group half io is f16 bits
             return x
 
+        def _slice(x, start, stop):
+            if isinstance(x, wide64.W):
+                return x.map(lambda p: jax.lax.slice_in_dim(
+                    p, start, stop, axis=d))
+            return jax.lax.slice_in_dim(x, start, stop, axis=d)
+
         slab_ins = {
-            n: jax.lax.slice_in_dim(_val(n), in_lo, grid_shape[d], axis=d)
+            n: _slice(_val(n), in_lo, grid_shape[d])
             for n in g.external_inputs
         }
         slab_outs = _eval_group_slab(program, g, slab_ins, params)
         for n in g.outputs:
-            rim = jax.lax.slice_in_dim(
-                slab_outs[n], keep_lo - in_lo, slab_outs[n].shape[d], axis=d)
+            v = slab_outs[n]
+            rim = _slice(v, keep_lo - in_lo, v.shape[d])
+            start = [0] * rank
+            start[d] = keep_lo
+            if isinstance(rim, wide64.W):
+                # wide outputs live as merged numpy arrays host-side:
+                # stitch the merged rim in place
+                import numpy as np
+
+                t = program.tensors[n].type
+                lo, hi = wide64.unwrap_planes(t, rim.astype(t.np_dtype()))
+                rim_np = wide64.merge_planes(np.asarray(lo), np.asarray(hi),
+                                             t.np_dtype())
+                out_np = np.asarray(outs[n]).copy()
+                idx = [slice(None)] * rank
+                idx[d] = slice(keep_lo, keep_lo + rim_np.shape[d])
+                out_np[tuple(idx)] = rim_np
+                outs[n] = out_np
+                continue
             if _is_half(program, n) and outs[n].dtype == jnp.uint16:
                 rim = f16_bits_encode(rim).astype(jnp.uint16)
             else:
                 rim = rim.astype(outs[n].dtype)
-            start = [0] * rank
-            start[d] = keep_lo
             outs[n] = jax.lax.dynamic_update_slice(
                 outs[n], rim, tuple(start))
     return outs

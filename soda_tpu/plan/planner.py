@@ -490,10 +490,10 @@ def _plan_group(
                     return False
             return True
 
-        # wide (pair-carrier) programs may use strips — the pieces are
-        # per-plane 32-bit arrays — but only on aligned grids: the hybrid
-        # XLA rim path is not pair-aware
-        if strips_ok() and (not windows_only or not hybrid_dims):
+        # wide (pair-carrier) programs use strips too: pieces are
+        # per-plane 32-bit arrays, and the hybrid XLA rim path evaluates
+        # pairs (Python-looped sweeps; _eval_group_slab)
+        if strips_ok():
             evs = evaluate(block, halo_strips, strips=True, shape=core)
             evs["traffic"] += rim_traffic()
             if evs["vmem"] <= vmem_budget and not (

@@ -299,3 +299,36 @@ def test_fuzz_wide_pallas_bit_exact(seed):
         -2**55, 2**55, (24, 128), dtype=np.int64)
     g, o = run_both(src, {"a": x})
     assert np.array_equal(g, o), src
+
+
+def test_pallas_wide_unaligned_grids_use_strips():
+    """Unaligned wide grids keep the pad-free strips strategy: the hybrid
+    rim path evaluates pair carriers (Python-looped sweeps) and stitches
+    merged numpy rims — bit-exact, incl. iterate trapezoid."""
+    from soda_tpu.plan.planner import plan
+
+    src = ("kernel: wu\ninput int64: a(128, *)\n"
+           "output int64: out(0,0) = a(-1,0) * int64(3) + a(1,0)"
+           " - (a(0,-1) >> 2) + a(0,1)\n")
+    p = parse(src)
+    for gs in ((500, 512), (61, 130)):
+        pl = plan(p, gs, vmem_budget=8 * 2**20)
+        assert pl.groups[0].strategy == "strips"
+        assert pl.groups[0].core is not None
+        x = rng.integers(-2**50, 2**50, gs, dtype=np.int64)
+        gold = numpy_interp.run(p, {"a": x})["out"]
+        got = pb.run(p, {"a": x}, interpret=True, the_plan=pl)["out"]
+        r = p.valid_rim()
+        assert np.array_equal(gold[r:-r, r:-r], got[r:-r, r:-r]), gs
+
+    src2 = ("kernel: wi\niterate: 4\ninput int64: a(128, *)\n"
+            "output int64: out(0,0) = a(-1,0) + a(1,0) + a(0,-1)"
+            " + a(0,1)\n")
+    p2 = parse(src2)
+    pl2 = plan(p2, (100, 128))
+    assert pl2.groups[0].core is not None and pl2.groups[0].sweeps > 1
+    x2 = rng.integers(-2**45, 2**45, (100, 128), dtype=np.int64)
+    gold2 = numpy_interp.run(p2, {"a": x2})["out"]
+    got2 = pb.run(p2, {"a": x2}, interpret=True, the_plan=pl2)["out"]
+    r2 = p2.valid_rim()
+    assert np.array_equal(gold2[r2:-r2, r2:-r2], got2[r2:-r2, r2:-r2])
