@@ -408,3 +408,18 @@ def test_mesh_wide_overlap_equals_synchronous():
     mesh = make_mesh([2, 4], ["y", "x"])
     got_o2 = run_sharded(p, {"a": x}, mesh=mesh, overlap=True)["out"]
     assert np.array_equal(gold[r:-r, r:-r], got_o2[r:-r, r:-r])
+
+
+def test_mesh_half_program():
+    """half programs shard with f32 local compute and f16 outputs (the
+    2 B/cell bit-pattern streaming is a Pallas-path detail; the mesh's
+    xla local path value-casts) — f16-scale agreement with the oracle."""
+    p = parse_file(SODA / "smooth_half.soda")
+    x = rng.standard_normal((64, 96)).astype(np.float16)
+    gold = numpy_interp.run(p, {"h_in": x})["h_out"]
+    got = run_sharded(p, {"h_in": x}, axis_sizes=[8])["h_out"]
+    assert got.dtype == np.float16
+    r = p.valid_rim()
+    d = np.abs(gold[r:-r, r:-r].astype(np.float32)
+               - got[r:-r, r:-r].astype(np.float32)).max()
+    assert d < 2e-2
