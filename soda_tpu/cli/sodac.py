@@ -177,11 +177,14 @@ def _random_inputs(program, grid_shape, seed):
             ins[n] = rng.standard_normal(grid_shape).astype(t.np_dtype())
         elif t.kind == "int":
             # signed types draw negatives too, so verification exercises
-            # sign-dependent C semantics (/, %, >>) — ADVICE r1
-            hi = 1 << min(t.width - 1, 14)
+            # sign-dependent C semantics (/, %, >>) — ADVICE r1.  64-bit
+            # types draw ABOVE the 32-bit range so the pair-carrier path
+            # is actually exercised past int32
+            hi = 1 << (40 if t.width > 32 else min(t.width - 1, 14))
             ins[n] = rng.integers(-hi, hi, grid_shape).astype(t.np_dtype())
         else:
-            hi = min(1 << min(t.width, 16), 1 << 15)
+            hi = ((1 << 40) if t.width > 32
+                  else min(1 << min(t.width, 16), 1 << 15))
             ins[n] = rng.integers(0, hi, grid_shape).astype(t.np_dtype())
     ps = {p.name: rng.standard_normal(p.shape).astype(p.type.np_dtype())
           for p in program.params.values()}

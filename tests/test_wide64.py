@@ -332,3 +332,41 @@ def test_pallas_wide_unaligned_grids_use_strips():
     got2 = pb.run(p2, {"a": x2}, interpret=True, the_plan=pl2)["out"]
     r2 = p2.valid_rim()
     assert np.array_equal(gold2[r2:-r2, r2:-r2], got2[r2:-r2, r2:-r2])
+
+
+def test_tcse_composes_with_wide():
+    """--tcse rewrites of 64-bit programs run the pair-carrier path
+    bit-exactly (hoisted partial-sum stages stay exact: the wide
+    evaluator uses the oracle-width accumulator)."""
+    from soda_tpu.optimize import tcse
+
+    src = ("kernel: wtc\ninput int64: a(128, *)\n"
+           "output int64: out(0,0) = a(-1,-1) + int64(2) * a(-1,0)"
+           " + a(-1,1) + int64(2) * a(0,-1) + int64(4) * a(0,0)"
+           " + int64(2) * a(0,1) + a(1,-1) + int64(2) * a(1,0)"
+           " + a(1,1)\n")
+    p = parse(src)
+    q = tcse.apply(p)
+    assert tcse.count_ops(q) < tcse.count_ops(p)
+    x = rng.integers(-2**40, 2**40, (48, 128), dtype=np.int64)
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = pb.run(q, {"a": x}, interpret=True)["out"]
+    r = max(p.valid_rim(), q.valid_rim())
+    assert np.array_equal(gold[r:-r, r:-r], got[r:-r, r:-r])
+
+
+def test_unroll_iterate_composes_with_wide():
+    """--unroll-iterate stage-copy unrolling of wide programs is
+    bit-exact through the pair carriers."""
+    from soda_tpu.optimize import unroll
+
+    src = ("kernel: wun\niterate: 4\ninput int64: a(128, *)\n"
+           "output int64: out(0,0) = (a(-1,0) + a(1,0) + a(0,-1)"
+           " + a(0,1)) >> 2\n")
+    p = parse(src)
+    pu = unroll.unroll_iterate(p, 4)
+    x = rng.integers(-2**45, 2**45, (64, 128), dtype=np.int64)
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = pb.run(pu, {"a": x}, interpret=True)[pu.output_names[0]]
+    r = p.valid_rim()
+    assert np.array_equal(gold[r:-r, r:-r], got[r:-r, r:-r])
