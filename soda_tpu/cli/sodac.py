@@ -374,6 +374,12 @@ def main(argv=None) -> int:
         if args.run and args.backend != "numpy":
             gold = numpy_interp.run(program, ins, ps)
             rim = program.valid_rim()
+            # half programs: the oracle rounds per op, the TPU computes
+            # f32 between f16-rounded stores (docs/SEMANTICS.md) — gate
+            # at f16 scale instead of f32's 1e-4
+            half = any(t.type.is_float and t.type.width == 16
+                       for t in program.tensors.values())
+            tol = 2e-2 if half else 1e-4
             ok = True
             for k in gold:
                 a = outs[k].astype(np.float64)
@@ -387,7 +393,7 @@ def main(argv=None) -> int:
                     raise SystemExit(
                         f"grid too small to verify: valid rim {rim} leaves "
                         f"no interior for output {k!r} on {grid_shape}")
-                if not np.allclose(a, b, rtol=1e-4, atol=1e-4):
+                if not np.allclose(a, b, rtol=tol, atol=tol):
                     ok = False
                     print(f"MISMATCH {k}: max diff {np.abs(a - b).max()}")
             print("verification vs NumPy oracle:", "PASS" if ok else "FAIL")

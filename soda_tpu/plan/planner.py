@@ -405,6 +405,12 @@ def _plan_group(
             # heat3d it=4 strips (64,256,256) modeled 95.8 MiB WITHOUT this
             # term fails VMEM allocation; (32,256,256) at 54 MiB runs)
             vmem += 2 * win_bytes
+        if windows_only:
+            # pair-carrier kernels keep limb temporaries live across the
+            # two-plane evaluation: hardware probe (accum64 strips
+            # (1024,2048), modeled 80.75 MiB) failed Mosaic allocation at
+            # 144.46M of 128M — ~1.8x the model; budget 2x
+            vmem *= 2
         nblocks = math.prod(grid)
         reads = win_bytes * nblocks
         writes = out_bytes * nblocks
