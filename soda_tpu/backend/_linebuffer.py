@@ -146,8 +146,9 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
 def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
                               grid_shape: tuple[int, ...],
                               interpret: bool = False):
-    from .pallas import (_group_params, _io_dtype, _param_ops, _to_io,
-                         _read_params, _shift_all)
+    from .pallas import (_group_params, _io_dtype, _is_half, _param_ops,
+                         _read_params, _shift_all, _to_io,
+                         f16_bits_decode, f16_bits_encode)
 
     rank = program.rank
     if rank == 2:
@@ -250,6 +251,11 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
                             if len(parts) > 1 else parts[0])
 
             vals = dict(slabs)
+            # half slabs are f16 BIT PATTERNS (carries stay encoded; the
+            # zero bit pattern IS +0.0, preserving the zero-fill border)
+            for n in g.external_inputs:
+                if _is_half(program, n) and vals[n].dtype == jnp.uint16:
+                    vals[n] = f16_bits_decode(vals[n])
             ctx = EvalContext(
                 program=program, xp=jnp,
                 tap=lambda p_, off: _shift_all(vals[p_], off),
@@ -259,8 +265,11 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
                 v, vt = eval_expr(t.expr, ctx)
                 vals[name] = store_cast(ctx, v, vt, t.type)
             for name, ref in zip(g.outputs, out_refs):
-                ref[:] = vals[name][rz_lo:rz_lo + bz,
-                                    hy:hy + by].astype(ref.dtype)
+                v = vals[name][rz_lo:rz_lo + bz, hy:hy + by]
+                if _is_half(program, name) and ref.dtype == jnp.uint16:
+                    ref[:] = f16_bits_encode(v).astype(jnp.uint16)
+                else:
+                    ref[:] = v.astype(ref.dtype)
 
         # carry update: new C = [i·bz - rz_lo, (i+1)·bz) of the y-extended
         # block stream; re-initialized at i == 0 for each fresh y block

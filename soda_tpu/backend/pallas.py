@@ -315,10 +315,13 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
                 lo, hi = wide64.unwrap_planes(ty, v.astype(ty.np_dtype()))
                 ref[0][:] = lo.astype(ref[0].dtype)
                 ref[1][:] = hi.astype(ref[1].dtype)
+            elif _is_half(program, name) and ref.dtype == jnp.uint16:
+                # check BEFORE the wide unwrap: a half output in a wide
+                # program must f16-encode, not value-cast to uint16
+                raw = v.a if wide else v
+                ref[:] = f16_bits_encode(raw).astype(jnp.uint16)
             elif wide:
                 ref[:] = v.astype(ref.dtype).a
-            elif _is_half(program, name) and ref.dtype == jnp.uint16:
-                ref[:] = f16_bits_encode(v).astype(jnp.uint16)
             else:
                 ref[:] = v.astype(ref.dtype)
     elif g.trapezoid:
@@ -400,11 +403,12 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
                 ty, vals[fb].astype(ty.np_dtype()))
             out_refs[0][0][:] = lo.astype(out_refs[0][0].dtype)
             out_refs[0][1][:] = hi.astype(out_refs[0][1].dtype)
-        elif wide:
-            out_refs[0][:] = vals[fb].astype(out_refs[0].dtype).a
         elif (_is_half(program, out_name)
               and out_refs[0].dtype == jnp.uint16):
-            out_refs[0][:] = f16_bits_encode(vals[fb]).astype(jnp.uint16)
+            raw = vals[fb].a if wide else vals[fb]
+            out_refs[0][:] = f16_bits_encode(raw).astype(jnp.uint16)
+        elif wide:
+            out_refs[0][:] = vals[fb].astype(out_refs[0].dtype).a
         else:
             out_refs[0][:] = vals[fb].astype(out_refs[0].dtype)
     else:
@@ -681,7 +685,9 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
         ops = []
         for name in g.external_inputs:
             if wide_in[name]:
-                lo, hi = wide64.split_planes(np.asarray(values[name]))
+                t = program.tensors[name].type
+                lo, hi = wide64.split_planes(
+                    np.asarray(values[name]).astype(t.np_dtype()))
                 planes = (jnp.asarray(lo), jnp.asarray(hi))
                 for _ in kinds_for(name):
                     ops.extend(planes)
@@ -824,7 +830,8 @@ def _apply_rims(program: StencilProgram, g: GroupPlan,
             if wide64.is_wide(t):
                 import numpy as np
 
-                lo, hi = wide64.split_planes(np.asarray(values[n]))
+                lo, hi = wide64.split_planes(
+                    np.asarray(values[n]).astype(t.np_dtype()))
                 return wide64.wrap_planes(t, jnp.asarray(lo),
                                           jnp.asarray(hi), jnp)
             x = jnp.asarray(values[n])
@@ -833,10 +840,7 @@ def _apply_rims(program: StencilProgram, g: GroupPlan,
             return x
 
         def _slice(x, start, stop):
-            if isinstance(x, wide64.W):
-                return x.map(lambda p: jax.lax.slice_in_dim(
-                    p, start, stop, axis=d))
-            return jax.lax.slice_in_dim(x, start, stop, axis=d)
+            return wide64.slice_dim(x, start, stop, d)
 
         slab_ins = {
             n: _slice(_val(n), in_lo, grid_shape[d])
@@ -963,7 +967,10 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
             t = program.tensors[name].type
             if wide64.is_wide(t):
                 # host split: 64-bit numpy value -> two 32-bit planes
-                lo, hi = wide64.split_planes(np.asarray(values[name]))
+                # (coerce to the DECLARED dtype first: a float array fed
+                # to an int64 tensor must value-cast, not bit-reinterpret)
+                lo, hi = wide64.split_planes(
+                    np.asarray(values[name]).astype(t.np_dtype()))
                 for plane in (lo, hi):
                     ops.append(_pad_input(jnp.asarray(plane), g.halo[name],
                                           block, g.grid, grid_shape, rank))

@@ -35,10 +35,15 @@ def _parse_int_list(s: str) -> tuple[int, ...]:
 
 
 def _parse_mesh(s: str):
-    """'2,4' or 'dcn:2,x:4' -> (sizes, names, link_classes).
+    """'2,4' (or legacy '2x4') or 'dcn:2,x:4' -> (sizes, names,
+    link_classes).
 
     An axis named dcn* is classed as a cross-slice DCN link (slow); all
-    others ride ICI.  Unnamed axes get ax0, ax1, ..."""
+    others ride ICI.  Unnamed axes get ax0, ax1, ...  The legacy 'x'
+    separator applies only to the UNNAMED form ('x' is a legitimate axis
+    name in the named form)."""
+    if ":" not in s:
+        s = s.replace("x", ",")
     sizes, names = [], []
     for i, part in enumerate(p for p in s.split(",") if p):
         if ":" in part:

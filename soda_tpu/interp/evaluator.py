@@ -77,13 +77,27 @@ def _c_div(xp, a, b):
 
 def _const_pow2(e: "ir.Expr") -> int | None:
     """Literal positive power-of-two divisor (seen through casts), or
-    None.  `x / int64(4)` parses as Cast(Const(4)) — unwrap."""
+    None.  `x / int64(4)` parses as Cast(Const(4)) — unwrap, but only
+    when every cast REPRESENTS the literal unchanged: `x / int8(128)`
+    wraps to -128 at runtime and must keep the general division path."""
+    casts: list[ScalarType] = []
     while isinstance(e, ir.Cast):
+        casts.append(e.type)
         e = e.operand
-    if isinstance(e, ir.Const) and isinstance(e.value, int):
-        v = e.value
-        if v > 0 and (v & (v - 1)) == 0:
-            return v
+    if not (isinstance(e, ir.Const) and isinstance(e.value, int)):
+        return None
+    v = e.value
+    for t in casts:
+        if t.is_float:
+            return None  # float-typed divisor: not an integer shift
+        if t.kind == "int":
+            if not (-(1 << (t.width - 1)) <= v < (1 << (t.width - 1))):
+                return None  # cast would wrap the value
+        else:
+            if not (0 <= v < (1 << t.width)):
+                return None
+    if v > 0 and (v & (v - 1)) == 0:
+        return v
     return None
 
 

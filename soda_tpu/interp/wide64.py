@@ -849,6 +849,18 @@ def rep_for(t) -> str:
     return "i" if t.is_signed else "u"
 
 
+def slice_dim(x, start, stop, axis):
+    """lax.slice_in_dim that maps over pair carriers (shared by the mesh
+    layer and the hybrid rim path — keep the W layout logic in ONE
+    place)."""
+    import jax
+
+    if isinstance(x, W):
+        return x.map(
+            lambda p: jax.lax.slice_in_dim(p, start, stop, axis=axis))
+    return jax.lax.slice_in_dim(x, start, stop, axis=axis)
+
+
 def wrap_planes(t, p_lo, p_hi, xp) -> W:
     """(lo, hi) storage planes -> W value for DSL type t (ints: limbs;
     double: (hi, lo) double-single components)."""

@@ -130,7 +130,6 @@ def choose_exchange_cadence(
     cad: dict[str, int] = {}
     for ax, d in zip(mesh.axis_names, dims):
         bw_gbps, lat = LINK_MODEL[link_classes.get(ax, "ici")]
-        shard = grid_shape[d] // mesh_sizes[ax]
         r = (-out_span[d][0]) + out_span[d][1]
         if r == 0 or it == 1:
             cad[ax] = it
@@ -165,12 +164,9 @@ def choose_exchange_cadence(
 
 def _slice_dim(x, start, stop, axis):
     """lax.slice_in_dim that maps over 64-bit pair carriers."""
-    from ..interp.wide64 import W
+    from ..interp.wide64 import slice_dim
 
-    if isinstance(x, W):
-        return x.map(
-            lambda p: jax.lax.slice_in_dim(p, start, stop, axis=axis))
-    return jax.lax.slice_in_dim(x, start, stop, axis=axis)
+    return slice_dim(x, start, stop, axis)
 
 
 def _dus(x, upd, start):
@@ -541,6 +537,10 @@ def build_sharded_fn(
         return ((n + "//lo", n + "//hi")
                 if wide64.is_wide(program.tensors[n].type) else (n,))
 
+    def _pkeys(n):
+        return ((n + "//lo", n + "//hi")
+                if wide64.is_wide(program.params[n].type) else (n,))
+
     inner_fn = local_fn
 
     def local_fn_planes(pinputs: dict, params: dict) -> dict:
@@ -552,7 +552,17 @@ def build_sharded_fn(
                     t, pinputs[n + "//lo"], pinputs[n + "//hi"], jnp)
             else:
                 vals[n] = pinputs[n]
-        outs = inner_fn(vals, params)
+        # 64-bit params cross as plane pairs too (jnp.asarray would have
+        # silently truncated them to 32 bits)
+        pr = {}
+        for n in program.params:
+            t = program.params[n].type
+            if wide64.is_wide(t):
+                pr[n] = wide64.wrap_planes(
+                    t, params[n + "//lo"], params[n + "//hi"], jnp)
+            else:
+                pr[n] = params[n]
+        outs = inner_fn(vals, pr)
         pouts = {}
         for n in out_names:
             t = program.tensors[n].type
@@ -566,10 +576,11 @@ def build_sharded_fn(
 
     in_keys = [k for n in program.input_names for k in _keys(n)]
     out_keys = [k for n in out_names for k in _keys(n)]
+    pkeys = [k for n in program.params for k in _pkeys(n)]
     sharded_planes = jax.jit(jax.shard_map(
         local_fn_planes,
         mesh=mesh,
-        in_specs=({k: tspec for k in in_keys}, params_spec),
+        in_specs=({k: tspec for k in in_keys}, {k: P() for k in pkeys}),
         out_specs={k: tspec for k in out_keys},
         check_vma=False,
     ))
@@ -581,12 +592,23 @@ def build_sharded_fn(
         for n in program.input_names:
             t = program.tensors[n].type
             if wide64.is_wide(t):
-                lo, hi = wide64.split_planes(np.asarray(inputs[n]))
+                lo, hi = wide64.split_planes(
+                    np.asarray(inputs[n]).astype(t.np_dtype()))
                 pin[n + "//lo"] = jnp.asarray(lo)
                 pin[n + "//hi"] = jnp.asarray(hi)
             else:
                 pin[n] = inputs[n]
-        pouts = sharded_planes(pin, params)
+        ppar = {}
+        for n in program.params:
+            t = program.params[n].type
+            if wide64.is_wide(t):
+                lo, hi = wide64.split_planes(
+                    np.asarray(params[n]).astype(t.np_dtype()))
+                ppar[n + "//lo"] = jnp.asarray(lo)
+                ppar[n + "//hi"] = jnp.asarray(hi)
+            else:
+                ppar[n] = jnp.asarray(params[n])
+        pouts = sharded_planes(pin, ppar)
         res = {}
         for n in out_names:
             t = program.tensors[n].type
@@ -636,12 +658,14 @@ def run_sharded(
     from ..backend.pallas import finalize_outputs
     from ..interp.wide64 import program_is_wide
 
-    params = {k: jnp.asarray(v) for k, v in (params or {}).items()}
     if program_is_wide(program):
-        # wide wrapper splits/merges 64-bit planes on the host (numpy);
+        # wide wrapper splits/merges 64-bit planes on the host (numpy) —
+        # inputs AND params (jnp.asarray would truncate 64-bit params);
         # the inner plane-level shard_map is already jitted
-        outs = fn({k: np.asarray(v) for k, v in inputs.items()}, params)
+        outs = fn({k: np.asarray(v) for k, v in inputs.items()},
+                  {k: np.asarray(v) for k, v in (params or {}).items()})
     else:
+        params = {k: jnp.asarray(v) for k, v in (params or {}).items()}
         if jit:
             fn = jax.jit(fn)
         outs = fn({k: jnp.asarray(v) for k, v in inputs.items()}, params)

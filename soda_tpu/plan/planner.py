@@ -261,6 +261,19 @@ def _plan_group(
     # slabs, rim slabs).  >= the composed span; differs on mixed-sign
     # chains (a stage reading +1 consumed at -2 does not cancel).
     creep1 = program.chain_creep(members, outputs)
+    # Per-sweep creep for FUSED sweeps: the union of the non-cancelling
+    # chain creep (constant-extent fori semantics: zero-fill bands escape
+    # through negative taps) and every external input's composed one-sweep
+    # span (EXACT-extent trapezoid semantics: the next sweep can need rows
+    # on the side the chain creep cancelled — a stage tapping +1 whose
+    # consumer taps -2 still needs the +1 row of last sweep's output;
+    # found by fuzz seed 141, shapes silently clamped by 1 row/sweep).
+    creep_fuse = tuple(
+        (min([creep1[d][0]] + [spans[i][d][0] for i in ext_inputs
+                               if i in spans]),
+         max([creep1[d][1]] + [spans[i][d][1] for i in ext_inputs
+                               if i in spans]))
+        for d in range(rank))
 
     def io_bytes(name: str) -> int:
         return program.tensors[name].type.tpu_storage_bytes
@@ -278,7 +291,7 @@ def _plan_group(
         the trapezoid path needs less but stays correct)."""
         if nf == 1:
             return spans.get(i, tuple((0, 0) for _ in range(rank)))
-        return tuple((nf * creep1[d][0], nf * creep1[d][1])
+        return tuple((nf * creep_fuse[d][0], nf * creep_fuse[d][1])
                      for d in range(rank))
 
     halo = {
@@ -312,9 +325,11 @@ def _plan_group(
     lo_reach = []   # input reach below an output row (for rim slab sizing)
     for d in range(rank - 1):
         # rim slabs evaluate at CONSTANT extent: non-cancelling chain
-        # creep per sweep, not the composed span
-        creep.append(nf * creep1[d][1])
-        lo_reach.append(nf * -creep1[d][0])
+        # creep per sweep (union with input spans when sweeps fuse — the
+        # trapezoid schedule consumes the larger margin)
+        c = creep1[d] if nf == 1 else creep_fuse[d]
+        creep.append(nf * c[1])
+        lo_reach.append(nf * -c[0])
     core = tuple(grid_shape[d] // q * q for d in range(rank - 1)) \
         + (grid_shape[-1],)
     hybrid_dims = [d for d in range(rank - 1) if core[d] != grid_shape[d]]
@@ -389,8 +404,8 @@ def _plan_group(
                 if nf > 1:
                     # constant-extent fori working set: every stage value
                     # lives at the full nf x creep window
-                    lo = nf * -creep1[d][0]
-                    hi = nf * creep1[d][1]
+                    lo = nf * -creep_fuse[d][0]
+                    hi = nf * creep_fuse[d][1]
                 else:
                     lo = -sp[d][0]
                     hi = sp[d][1]
@@ -445,8 +460,10 @@ def _plan_group(
                 m = nf - 1 - s
                 e = 1
                 for d in range(rank - 1):
+                    # extents grow by the fused-sweep creep union
+                    # (matches the kernel's trapezoid schedule)
                     e *= (block[d]
-                          + m * (out_span[d][1] - out_span[d][0]))
+                          + m * (creep_fuse[d][1] - creep_fuse[d][0]))
                 total_ext += e * block[rank - 1]
             waste = total_ext / (nf * math.prod(block))
         else:
@@ -637,7 +654,11 @@ def _plan_group(
         outputs=outputs,
         spans=spans,
         sweeps=nf,
-        sweep_span=out_span,
+        # per-sweep creep for the trapezoid schedule: the fused-sweep
+        # creep UNION (chain creep ∪ input spans) — mixed-sign stage
+        # chains need margins on the side the chain creep cancels (fuzz
+        # seed 141: under-provisioned extents clamp slices by 1 row/sweep)
+        sweep_span=creep_fuse,
         block=block,
         grid=ev["grid"],
         halo=(halo if strategy == "windows" else

@@ -472,3 +472,35 @@ def test_user_tensor_named_like_cse_goes_wide():
     pl = plan(p, (64, 128))
     assert pl.groups[0].strategy == "windows"
     assert any("paired-32-bit" in n for n in pl.notes)
+
+
+def test_trapezoid_mixed_sign_multistage_chain():
+    """Fuzz seed 141 regression (code-review round): mixed-sign MULTI-STAGE
+    chains under the trapezoid schedule need per-sweep creep = the UNION
+    of chain creep and every input's composed span — the chain creep's
+    zero-fill 'escape' semantics only applies to the constant-extent fori
+    path.  With the composed-output-span creep, a stage tapping +1 whose
+    consumer taps -2 under-provisioned the next sweep's feedback slice by
+    one row per sweep (silently clamped -> shape error or wrong values)."""
+    import numpy as np
+
+    from soda_tpu.backend import pallas as pb
+    from soda_tpu.interp import numpy_interp
+
+    src = ("kernel: fw\niterate: 2\ninput int32: a(64, *)\n"
+           "local int32: s0(0, 0) = a(1, 2) + a(-2, -1)"
+           " + (a(-1, -2) >> 11) + a(0, 2) * 1\n"
+           "local int32: s1(0, 0) = s0(-2, -2) + s0(-1, 2)"
+           " + s0(-2, 0) * 4\n"
+           "output int32: out(0, 0) = (s1(-1, 0) & 343597) + s1(-2, 2)\n")
+    p = parse(src)
+    g = plan(p, (40, 128)).groups[0]
+    assert g.trapezoid
+    # the per-sweep creep must cover the input's +1 composed-span side
+    assert g.sweep_span[0][1] >= 1
+    x = np.random.default_rng(1).integers(-2**27, 2**27,
+                                          (40, 128)).astype(np.int32)
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = pb.run(p, {"a": x}, interpret=True)["out"]
+    r = p.valid_rim()
+    assert np.array_equal(gold[r:-r, r:-r], got[r:-r, r:-r])
