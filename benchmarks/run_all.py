@@ -85,9 +85,17 @@ def main() -> int:
                           rng.integers(0, 200, shape).astype(t.np_dtype()))
             ps = {p.name: rng.standard_normal(p.shape).astype(p.type.np_dtype())
                   for p in program.params.values()}
-            fn = jax.jit(pb.build_fn(program, the_plan=pl))
-            jins = {k: jnp.asarray(v) for k, v in ins.items()}
-            jps = {k: jnp.asarray(v) for k, v in ps.items()}
+            from soda_tpu.interp.wide64 import program_is_wide
+
+            if program_is_wide(program):
+                # wide kernels are host-driven (numpy plane split/merge)
+                fn = pb.build_fn(program, the_plan=pl)
+                jins = dict(ins)
+                jps = dict(ps)
+            else:
+                fn = jax.jit(pb.build_fn(program, the_plan=pl))
+                jins = {k: jnp.asarray(v) for k, v in ins.items()}
+                jps = {k: jnp.asarray(v) for k, v in ps.items()}
             out = fn(jins, jps)
             jax.block_until_ready(out)
             t0 = time.perf_counter()
