@@ -416,17 +416,30 @@ def main(argv=None) -> int:
                     "--benchmark supports --backend pallas|xla (got "
                     f"{'mesh' if args.mesh else args.backend}); run the "
                     "single-chip backend you want timed")
+            from ..interp.wide64 import program_is_wide
+
+            wide_bench = (args.backend == "pallas"
+                          and program_is_wide(program))
             if args.backend == "pallas":
                 from ..backend import pallas as pb
-                fn = jax.jit(pb.build_fn(
+                fn = pb.build_fn(
                     program, the_plan=the_plan,
-                    interpret=True if args.interpret else "auto"))
+                    interpret=True if args.interpret else "auto")
+                if not wide_bench:
+                    fn = jax.jit(fn)
             else:
                 from ..backend import xla as xb
                 fn = jax.jit(xb.build_fn(program))
-            jins = {k: jnp.asarray(v) for k, v in ins.items()}
-            jps = {k: jnp.asarray(v) for k, v in ps.items()}
-            compiled = fn.lower(jins, jps).compile()
+            if wide_bench:
+                # wide kernels are host-driven (numpy plane split/merge):
+                # time the built fn directly; the inner pallas_calls are
+                # jitted
+                compiled = fn
+                jins, jps = dict(ins), dict(ps)
+            else:
+                jins = {k: jnp.asarray(v) for k, v in ins.items()}
+                jps = {k: jnp.asarray(v) for k, v in ps.items()}
+                compiled = fn.lower(jins, jps).compile()
             out = compiled(jins, jps)
             jax.block_until_ready(out)
             reps = 5
