@@ -387,8 +387,15 @@ def main(argv=None) -> int:
             tol = 2e-2 if half else 1e-4
             ok = True
             for k in gold:
-                a = outs[k].astype(np.float64)
-                b = gold[k].astype(np.float64)
+                int_out = not program.tensors[k].type.is_float
+                # integer outputs compare BIT-EXACT (a float64 cast would
+                # hide dropped low-limb carries beyond 2^53 on the wide
+                # path — ADVICE r2); floats keep the tolerance gate
+                if int_out:
+                    a, b = np.asarray(outs[k]), np.asarray(gold[k])
+                else:
+                    a = outs[k].astype(np.float64)
+                    b = gold[k].astype(np.float64)
                 if rim:
                     sl = tuple(slice(rim, -rim) for _ in range(a.ndim))
                     a, b = a[sl], b[sl]
@@ -398,9 +405,12 @@ def main(argv=None) -> int:
                     raise SystemExit(
                         f"grid too small to verify: valid rim {rim} leaves "
                         f"no interior for output {k!r} on {grid_shape}")
-                if not np.allclose(a, b, rtol=tol, atol=tol):
+                good = (np.array_equal(a, b) if int_out
+                        else np.allclose(a, b, rtol=tol, atol=tol))
+                if not good:
                     ok = False
-                    print(f"MISMATCH {k}: max diff {np.abs(a - b).max()}")
+                    d = np.abs(a.astype(np.float64) - b.astype(np.float64))
+                    print(f"MISMATCH {k}: max diff {d.max()}")
             print("verification vs NumPy oracle:", "PASS" if ok else "FAIL")
             if not ok:
                 return 1
@@ -456,10 +466,12 @@ def main(argv=None) -> int:
             print(f"benchmark ({args.backend}): {dt*1e3:.3f} ms/call  "
                   f"{updates/dt/1e9:.2f} GCell-updates/s (wall-clock; "
                   f"UNRELIABLE on timing-emulated devices)")
+            roof_name = (f"{rep.sweeps_total}-sweep"
+                         if rep.sweeps_total > 1 else "single-sweep")
             print(f"analytic:  {rep.bytes_per_cell_update:.3f} B/update -> "
                   f"{rep.est_gcells_per_s_v5e:.1f} GCell-updates/s at v5e "
-                  f"819 GB/s ({100*rep.roofline_fraction:.0f}% of single-sweep "
-                  f"roofline)")
+                  f"819 GB/s ({100*rep.roofline_fraction:.0f}% of the "
+                  f"{roof_name} roofline)")
             # independent cross-check: XLA cost-model bytes for the whole
             # jitted program.  The model counts each custom-call operand's
             # FULL buffer (it cannot see BlockSpec strip windows), so for

@@ -108,13 +108,12 @@ class GroupPlan:
     trapezoid: bool = False
 
     def describe(self) -> str:
-        eff = self.useful_cells_per_call * 8 / max(self.hbm_bytes_per_call, 1)
         return (
             f"group(stages={self.stages}, {self.strategy}, sweeps={self.sweeps}, "
             f"block={self.block}, "
             f"grid={self.grid}, vmem={self.vmem_bytes/2**20:.2f}MiB, "
             f"traffic={self.hbm_bytes_per_call/max(self.useful_cells_per_call,1):.2f}B/cell-update, "
-            f"compute_waste={self.compute_extent_ratio:.2f}x, roofline_frac={min(eff,99):.2f})"
+            f"compute_waste={self.compute_extent_ratio:.2f}x)"
         )
 
 
@@ -128,6 +127,12 @@ class Plan:
     # per-sweep ideal HBM bytes per cell: program inputs read once + outputs
     # written once in their TPU storage dtypes (full on-chip reuse)
     ideal_bytes_per_cell: float = 8.0
+    # total cell-updates per grid cell across the whole execution
+    # (iterate × unrolled updates).  The N-sweep roofline divides the
+    # per-sweep ideal by this: a perfectly fused iterate=N run still reads
+    # and writes each cell once, so its per-UPDATE ideal is ideal/N —
+    # reporting against it keeps every roofline fraction <= 100%.
+    sweeps_total: int = 1
 
     def describe(self) -> str:
         out = [f"plan for {self.program_name} on grid {self.grid_shape}:"]
@@ -161,6 +166,7 @@ class Plan:
             ],
             "notes": self.notes,
             "ideal_bytes_per_cell": self.ideal_bytes_per_cell,
+            "sweeps_total": self.sweeps_total,
         }
 
 
@@ -809,7 +815,8 @@ def plan(
                 f"~1-2 min (cached thereafter); --sweeps 8 trades HBM "
                 f"traffic for compile time")
         return Plan(program.name, program.rank, [g], tuple(grid_shape), notes,
-                    ideal_bytes_per_cell=ideal)
+                    ideal_bytes_per_cell=ideal,
+                    sweeps_total=it * updates_per_cell)
 
     # 2) split the stage DAG into chained groups (iterate>1 cannot split:
     #    the feedback loop needs the whole pipeline per sweep)
@@ -851,4 +858,5 @@ def plan(
         f"VMEM pressure: split {len(stages)} stages into {len(groups)} "
         f"chained kernel groups")
     return Plan(program.name, program.rank, groups, tuple(grid_shape), notes,
-                ideal_bytes_per_cell=ideal)
+                ideal_bytes_per_cell=ideal,
+                sweeps_total=it * updates_per_cell)

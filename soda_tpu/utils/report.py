@@ -4,10 +4,14 @@ report surface (II/latency/resource from Vivado logs — SURVEY.md §5
 HBM traffic, roofline fraction, and compile wall-clock.
 
 Roofline math (BASELINE.md): per-sweep ideal traffic for a stencil with
-full on-chip reuse is one read + one write per cell (8 B/cell at f32);
-achieved fraction = ideal_bytes / planned_bytes.  Wall-clock on the local
-timing-emulated device is NOT used for perf claims; the planner's byte
-counts are exact by construction.
+full on-chip reuse is one read + one write per cell (8 B/cell at f32).
+Temporally-fused configs (iterate=N) are reported against the N-SWEEP
+ideal — a perfectly fused run still reads and writes each cell once for
+all N updates, so the per-UPDATE ideal is ideal/N and every fraction stays
+<= 100% (jacobi2d it=8 reads "1.008 B/cell-update vs 1.0 -> 99%", never
+"793% of single-sweep").  Wall-clock on the local timing-emulated device
+is NOT used for perf claims; the planner's byte counts are exact by
+construction.
 """
 
 from __future__ import annotations
@@ -27,9 +31,13 @@ class CompileReport:
     grid_shape: tuple[int, ...]
     plan: dict
     bytes_per_cell_update: float
+    # per-UPDATE ideal: the per-sweep ideal ÷ total sweeps (N-sweep
+    # roofline); fractions against it are always <= 100%
     ideal_bytes_per_cell_update: float
     roofline_fraction: float
     est_gcells_per_s_v5e: float
+    sweeps_total: int = 1
+    ideal_bytes_per_cell_sweep: float = 8.0
     vpu_ops_per_update: float | None = None
     est_vpu_bound_gcells: float | None = None
     compile_seconds: float | None = None
@@ -49,10 +57,20 @@ class CompileReport:
                 f"    vmem={g['vmem_bytes']/2**20:.2f} MiB  "
                 f"traffic={g['bytes_per_cell_update']:.3f} B/cell-update  "
                 f"compute-extent={g['compute_extent_ratio']:.2f}x")
-        out.append(
-            f"  analytic: {self.bytes_per_cell_update:.3f} B/cell-update vs "
-            f"ideal {self.ideal_bytes_per_cell_update:.1f} -> "
-            f"{100*self.roofline_fraction:.1f}% of single-sweep HBM roofline")
+        if self.sweeps_total > 1:
+            out.append(
+                f"  analytic: {self.bytes_per_cell_update:.3f} B/cell-update "
+                f"vs the {self.sweeps_total}-sweep ideal "
+                f"{self.ideal_bytes_per_cell_update:.3f} "
+                f"({self.ideal_bytes_per_cell_sweep:.1f} B/cell ÷ "
+                f"{self.sweeps_total} fused updates) -> "
+                f"{100*self.roofline_fraction:.1f}% of the "
+                f"{self.sweeps_total}-sweep HBM roofline")
+        else:
+            out.append(
+                f"  analytic: {self.bytes_per_cell_update:.3f} B/cell-update vs "
+                f"ideal {self.ideal_bytes_per_cell_update:.1f} -> "
+                f"{100*self.roofline_fraction:.1f}% of single-sweep HBM roofline")
         out.append(
             f"  est. v5e throughput (819 GB/s HBM): "
             f"{self.est_gcells_per_s_v5e:.1f} GCell-updates/s")
@@ -79,8 +97,12 @@ def analyze(plan: Plan, dtype_bytes: int = 4, program=None) -> CompileReport:
     bpc = total_bytes / total_useful
     # per-sweep ideal: program inputs read + outputs written once, in their
     # TPU storage dtypes (narrow ints stream at 2 B/cell like the reference)
-    ideal = pj.get("ideal_bytes_per_cell", 2 * dtype_bytes)
-    frac = ideal / bpc if bpc > 0 else 0.0
+    ideal_sweep = pj.get("ideal_bytes_per_cell", 2 * dtype_bytes)
+    # per-UPDATE ideal: temporally-fused configs compare against the
+    # N-sweep roofline (ideal ÷ total sweeps) so fractions stay <= 100%
+    sweeps_total = max(int(pj.get("sweeps_total", 1)), 1)
+    ideal = ideal_sweep / sweeps_total
+    frac = min(ideal / bpc, 1.0) if bpc > 0 else 0.0
     est = V5E_HBM_GBPS / bpc  # GB/s ÷ B/cell-update = Gcell-update/s
     vpu_ops = vpu_bound = None
     if program is not None:
@@ -97,6 +119,8 @@ def analyze(plan: Plan, dtype_bytes: int = 4, program=None) -> CompileReport:
         ideal_bytes_per_cell_update=float(ideal),
         roofline_fraction=frac,
         est_gcells_per_s_v5e=est,
+        sweeps_total=sweeps_total,
+        ideal_bytes_per_cell_sweep=float(ideal_sweep),
         vpu_ops_per_update=vpu_ops,
         est_vpu_bound_gcells=vpu_bound,
     )
