@@ -13,6 +13,7 @@ via sitecustomize in $PYTHONPATH (/root/.axon_site); dropping it makes the
 'axon' backend unknown.
 """
 
+import argparse
 import glob
 import pathlib
 import sys
@@ -28,9 +29,104 @@ from soda_tpu.backend import pallas as pallas_backend
 SODA = pathlib.Path(__file__).resolve().parents[1] / "tests" / "soda"
 SHAPES = {1: (2048,), 2: (48, 128), 3: (24, 32, 128)}
 
+# At-size gate (VERDICT r2 #3): tiny-shape runs select different strategies
+# than production sizes (windows vs linebuffer-at-scale, hybrid rim,
+# trapezoid depth), so one oracle-checked PRODUCTION-size config per
+# strategy runs here too — the sizes the benchmark table advertises.
+# (program, shape, iterate override, expected strategy)
+AT_SIZE = [
+    ("jacobi3d", (512, 512, 512), None, "linebuffer"),  # 3-D z-march
+    ("jacobi3d", (500, 500, 500), None, "linebuffer"),  # aligned-core + rim
+    ("jacobi2d", (2048, 2048), None, "strips"),         # trapezoid it=8
+    ("accum64", (2048, 2048), None, "strips"),          # wide pair carriers
+    ("blur", (2048, 4096), None, "linebuffer"),         # 2-D row-march
+    ("heat3d", (256, 256, 256), None, "strips"),        # fused-sweep 3-D
+]
+
+
+def _rand_inputs(p, shape, rng):
+    ins = {}
+    for n in p.input_names:
+        t = p.tensors[n].type
+        if t.is_float:
+            ins[n] = rng.standard_normal(shape).astype(t.np_dtype())
+        elif t.kind == "int" and t.width > 32:
+            # exercise the pair-carrier path past int32
+            ins[n] = rng.integers(-(1 << 40), 1 << 40, shape).astype(
+                t.np_dtype())
+        else:
+            ins[n] = rng.integers(0, 250, shape).astype(t.np_dtype())
+    ps = {pp.name: rng.standard_normal(pp.shape).astype(pp.type.np_dtype())
+          for pp in p.params.values()}
+    return ins, ps
+
+
+def _compare(p, got, gold, rim):
+    """Rim-excluded comparison: ints BIT-exact, floats at tolerance
+    (f16-scale for half programs — docs/SEMANTICS.md)."""
+    def interior(a):
+        if rim == 0:
+            return a
+        return a[tuple(slice(rim, -rim) for _ in range(a.ndim))]
+
+    half = any(t.type.is_float and t.type.width == 16
+               for t in p.tensors.values())
+    tol = 2e-2 if half else 1e-4
+    for k in gold:
+        a, b = interior(got[k]), interior(gold[k])
+        if not p.tensors[k].type.is_float:
+            if not np.array_equal(a, b):
+                return False
+        elif not np.allclose(a.astype(np.float64), b.astype(np.float64),
+                             rtol=tol, atol=tol):
+            return False
+    return True
+
+
+def run_at_size(rng) -> int:
+    """One oracle-checked production-size config per kernel strategy."""
+    from soda_tpu.plan.planner import plan as make_plan
+
+    failures = 0
+    for name, shape, it, want_strategy in AT_SIZE:
+        p = parse_file(SODA / f"{name}.soda",
+                       overrides={"iterate": it} if it else None)
+        pl = make_plan(p, shape)
+        strat = pl.groups[0].strategy
+        label = f"{name} {'x'.join(map(str, shape))}"
+        if strat != want_strategy:
+            print(f"{label}: STRATEGY {strat} (expected {want_strategy})")
+            failures += 1
+        ins, ps = _rand_inputs(p, shape, rng)
+        gold = numpy_interp.run(p, ins, ps)
+        try:
+            got = pallas_backend.run(p, ins, ps, the_plan=pl)
+        except Exception as e:  # noqa: BLE001
+            print(f"{label}: COMPILE/RUN FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}")
+            failures += 1
+            continue
+        ok = _compare(p, got, gold, p.valid_rim())
+        nf = pl.groups[0].sweeps
+        print(f"{label} [{strat}, sweeps={nf}]: {'OK' if ok else 'MISMATCH'}")
+        failures += 0 if ok else 1
+    return failures
+
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small-only", action="store_true",
+                    help="skip the production-size strategy gate")
+    args = ap.parse_args()
+
     import jax
+
+    # persistent compile cache: the at-size kernels take 20-60 s each to
+    # Mosaic-compile cold; repeats are seconds
+    cache = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     print(f"platform: {jax.devices()[0].platform} ({jax.devices()[0]})")
     rng = np.random.default_rng(7)
@@ -65,25 +161,13 @@ def main() -> int:
             print(f"{pathlib.Path(f).stem}: COMPILE/RUN FAILED: {type(e).__name__}")
             failures += 1
             continue
-        rim = p.valid_rim()
-
-        def interior(a):
-            if rim == 0:
-                return a
-            return a[tuple(slice(rim, -rim) for _ in range(a.ndim))]
-
-        # half: TPU computes f32 between f16-rounded stores; the oracle
-        # rounds per op — f16-scale tolerance (docs/SEMANTICS.md)
-        half = any(t.type.is_float and t.type.width == 16
-                   for t in p.tensors.values())
-        tol = 2e-2 if half else 1e-4
-        ok = all(
-            np.allclose(interior(got[k]).astype(np.float64),
-                        interior(gold[k]).astype(np.float64),
-                        rtol=tol, atol=tol)
-            for k in gold)
+        ok = _compare(p, got, gold, p.valid_rim())
         print(f"{pathlib.Path(f).stem}: {'OK' if ok else 'MISMATCH'}")
         failures += 0 if ok else 1
+
+    if not args.small_only:
+        print("--- at-size strategy gate (production shapes) ---")
+        failures += run_at_size(rng)
     return 1 if failures else 0
 
 

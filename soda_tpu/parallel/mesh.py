@@ -13,6 +13,12 @@ Boundary convention: `jax.lax.ppermute` leaves non-received outputs ZERO,
 which is exactly the program's zero-fill border convention — edge devices
 get a zero halo for free.
 
+Uneven (non-divisible) grids pad-to-shard: each sharded dim is zero-padded
+to a mesh-axis multiple at the host boundary, outputs re-zero the pad
+region after every exchange chunk (exchanged halos keep the zero-fill
+contract), and results are sliced back — bit-exact at exchange-every-sweep,
+rim-only deviation at deeper cadences (docs/SEMANTICS.md).
+
 Local per-device compute uses either the portable XLA backend (default —
 works on the simulated CPU mesh) or the Pallas backend (TPU).
 """
@@ -265,16 +271,27 @@ def build_sharded_fn(
     # not the composed span — mixed-sign stage chains need more
     out_span = program.chain_creep()
 
-    # clamp fused sweeps so the halo never exceeds a neighbor's shard
-    # (multi-hop exchange is a later optimization)
+    # Non-divisible grids PAD-TO-SHARD (the reference host tiles arbitrary
+    # grids with overlapping halos — SURVEY.md §2.1 host-codegen row): each
+    # sharded dim is zero-padded up to a multiple of its mesh axis at the
+    # host boundary (zero IS the out-of-grid tap value), the pad region of
+    # every output is re-zeroed after each exchange chunk so exchanged
+    # halos always carry correct zero-fill semantics, and outputs are
+    # sliced back.  Exchange-every-sweep (nf=1) is bit-exact everywhere;
+    # deeper cadences deviate only inside the border-invalid rim
+    # (`border: ignore`, width creep×sweeps — docs/SEMANTICS.md).
+    pad_dims: dict[int, tuple[str, int, int]] = {}  # d -> (ax, real, shard)
+    padded_shape: tuple[int, ...] | None = None
     if grid_shape is not None:
         mesh_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        pshape = list(grid_shape)
         for ax, d in zip(mesh.axis_names, dims):
-            if grid_shape[d] % mesh_sizes[ax] != 0:
-                raise ValueError(
-                    f"grid dim {d} ({grid_shape[d]}) not divisible by mesh "
-                    f"axis {ax!r} ({mesh_sizes[ax]})")
-            shard = grid_shape[d] // mesh_sizes[ax]
+            m = mesh_sizes[ax]
+            padded = -(-grid_shape[d] // m) * m
+            shard = padded // m
+            if padded != grid_shape[d]:
+                pad_dims[d] = (ax, grid_shape[d], shard)
+                pshape[d] = padded
             r = max(-out_span[d][0], out_span[d][1])
             # auto-chosen nf prefers halos within one shard (single-hop
             # exchange); an EXPLICIT sweeps_per_exchange is honored — wider
@@ -282,10 +299,35 @@ def build_sharded_fn(
             if sweeps_per_exchange is None and cad is None:
                 while nf > 1 and (nf * r > shard or it % nf != 0):
                     nf -= 1
+        padded_shape = tuple(pshape)
 
     halos = {}
     for ax, d in zip(axis_names, dims):
         halos[d] = (-out_span[d][0] * nf, out_span[d][1] * nf, ax)
+
+    def _mask_pad_dim(outs: dict, d: int) -> dict:
+        """Zero the pad-to-shard rows of dim `d` in every tensor of `outs`
+        (wide pairs: both planes — zero planes ARE the zero value).  Runs
+        INSIDE shard_map: the device's global position comes from
+        axis_index, so only the trailing shard(s) holding pad rows mask
+        anything."""
+        if d not in pad_dims:
+            return outs
+        ax, real, shard = pad_dims[d]
+        idx = jax.lax.axis_index(ax)
+        valid = real - idx * shard  # rows of this shard inside the real grid
+
+        def m(x):
+            iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, d)
+            return jnp.where(iota < valid, x, jnp.zeros_like(x))
+
+        return {n: (v.map(m) if isinstance(v, wide64.W) else m(v))
+                for n, v in outs.items()}
+
+    def _mask_pad(outs: dict) -> dict:
+        for d in pad_dims:
+            outs = _mask_pad_dim(outs, d)
+        return outs
 
     in_name = program.input_names[0]
     out_names = program.output_names
@@ -449,11 +491,14 @@ def build_sharded_fn(
 
     def local_fn(inputs: dict, params: dict) -> dict:
         arrays = _local_cast(inputs)
-        outs = local_chunk(arrays, params)
+        # mask after EVERY chunk: the next chunk's halo exchange (and the
+        # feedback input) must see zeros in the pad region, preserving the
+        # out-of-grid-taps-read-zero contract across devices
+        outs = _mask_pad(local_chunk(arrays, params))
         for _ in range(it // nf - 1):
             nxt = {n: arrays[n] for n in program.input_names}
             nxt[in_name] = outs[out_names[0]]
-            outs = local_chunk(nxt, params)
+            outs = _mask_pad(local_chunk(nxt, params))
         return outs
 
     # ---- nested per-axis cadence (multi-slice) schedule ------------------
@@ -513,6 +558,10 @@ def build_sharded_fn(
                                        res[n].shape[d] - hi, d)
                             if lo or hi else res[n])
                         for n in out_names}
+                # each level re-zeros its own dim's pad rows before its
+                # next exchange (outs are shard-sized along d here; the
+                # extension along outer dims does not shift d's indexing)
+                outs = _mask_pad_dim(outs, d)
             return outs
 
         def local_fn_nested(inputs: dict, params: dict) -> dict:
@@ -528,7 +577,30 @@ def build_sharded_fn(
             out_specs={n: tspec for n in out_names},
             check_vma=False,
         )
-        return sharded
+        if not pad_dims:
+            return sharded
+
+        def sharded_padded(inputs: dict, params: dict) -> dict:
+            # zero-pad each sharded dim up to a mesh-axis multiple (zeros
+            # = the out-of-grid tap value), run, slice back to the real
+            # grid.  Jit-compatible: pads are static.
+            pin = {}
+            for n2 in program.input_names:
+                v = jnp.asarray(inputs[n2])
+                pw = [(0, 0)] * program.rank
+                for d in pad_dims:
+                    pw[d] = (0, padded_shape[d] - v.shape[d])
+                pin[n2] = jnp.pad(v, pw)
+            outs = sharded(pin, params)
+            res = {}
+            for n2 in out_names:
+                x = outs[n2]
+                for d, (_ax, real, _s) in pad_dims.items():
+                    x = jax.lax.slice_in_dim(x, 0, real, axis=d)
+                res[n2] = x
+            return res
+
+        return sharded_padded
 
     # ---- 64-bit plane boundary: wide tensors cross shard_map as two
     # 32-bit plane arrays (n//lo, n//hi); the local fn wraps them into
@@ -588,16 +660,24 @@ def build_sharded_fn(
     def sharded_wide(inputs: dict, params: dict) -> dict:
         import numpy as np
 
+        def _pad(a: "np.ndarray") -> "np.ndarray":
+            if not pad_dims:
+                return a
+            pw = [(0, 0)] * program.rank
+            for d in pad_dims:
+                pw[d] = (0, padded_shape[d] - a.shape[d])
+            return np.pad(a, pw)
+
         pin = {}
         for n in program.input_names:
             t = program.tensors[n].type
             if wide64.is_wide(t):
                 lo, hi = wide64.split_planes(
-                    np.asarray(inputs[n]).astype(t.np_dtype()))
+                    _pad(np.asarray(inputs[n]).astype(t.np_dtype())))
                 pin[n + "//lo"] = jnp.asarray(lo)
                 pin[n + "//hi"] = jnp.asarray(hi)
             else:
-                pin[n] = inputs[n]
+                pin[n] = jnp.asarray(_pad(np.asarray(inputs[n])))
         ppar = {}
         for n in program.params:
             t = program.params[n].type
@@ -609,15 +689,22 @@ def build_sharded_fn(
             else:
                 ppar[n] = jnp.asarray(params[n])
         pouts = sharded_planes(pin, ppar)
+
+        def _unpad(a):
+            for d, (_ax, real, _s) in pad_dims.items():
+                a = a[tuple(slice(None) if e != d else slice(0, real)
+                            for e in range(program.rank))]
+            return a
+
         res = {}
         for n in out_names:
             t = program.tensors[n].type
             if wide64.is_wide(t):
-                res[n] = wide64.merge_planes(
+                res[n] = _unpad(wide64.merge_planes(
                     np.asarray(pouts[n + "//lo"]),
-                    np.asarray(pouts[n + "//hi"]), t.np_dtype())
+                    np.asarray(pouts[n + "//hi"]), t.np_dtype()))
             else:
-                res[n] = pouts[n]
+                res[n] = _unpad(np.asarray(pouts[n]))
         return res
 
     return sharded_wide

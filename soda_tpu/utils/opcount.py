@@ -54,26 +54,97 @@ def expr_ops(e: ir.Expr) -> float:
     return ops
 
 
-# modeled VPU-op multipliers for paired-32-bit carriers (interp/wide64):
-# add/sub ≈ 4 limb ops (adds + carry compare), mul ≈ 12 (16-bit half
-# products + carries), compare/select/minmax ≈ 3; long division is a
-# 64-step unrolled loop (~8 ops/step).  A single blended multiplier keeps
-# the report honest without re-walking per-op; division-heavy programs
-# are still underestimated (flagged in the report as modeled).
-WIDE_PAIR_OP_WEIGHT = 6.0
+# Per-op VPU multipliers for 64-bit values on the pair-carrier path
+# (interp/wide64), walked per expression node with the node's inferred
+# type (VERDICT r2 #5 — replaces the old blended 6.0× multiplier, which
+# underestimated division-heavy programs).  Integer pairs (s64/u64 as two
+# u32 limbs): add/sub = limb adds + carry compare ≈ 4; mul = 16-bit half
+# products + carries ≈ 12; shifts ≈ 6; compares/selects/min/max ≈ 3
+# (limb compares + selects); `/` and `%` by a non-power-of-two lower to
+# the 64-step long division (~8 ops/step = 512); by a constant power of
+# two to bias-then-shift (~6).  `double` (double-single f32 pairs):
+# two_sum-based add ≈ 20, Dekker-split mul ≈ 17, div ≈ 35, sqrt ≈ 50
+# (error-free transform), other transcendentals ≈ 80.  All MODELED — the
+# report labels the wide VPU bound per-op-modeled; per-op throughput is
+# not measurable on a timing-emulated chip (BASELINE.md).
+_WIDE_INT = {"+": 4.0, "-": 4.0, "*": 12.0, "<<": 6.0, ">>": 6.0,
+             "&": 2.0, "|": 2.0, "^": 2.0}
+_WIDE_INT_DIV = 512.0
+_WIDE_INT_DIV_POW2 = 6.0
+_WIDE_FLT = {"+": 20.0, "-": 20.0, "*": 17.0, "/": 35.0}
+_WIDE_CMP = 3.0
+_WIDE_CALL = {"sqrt": 50.0}
+_WIDE_CALL_DEFAULT = 80.0
+_CMP_OPS = ("==", "!=", "<", ">", "<=", ">=")
+
+
+def expr_ops_wide(e: ir.Expr, program: StencilProgram) -> float:
+    """Weighted pair-carrier op count over DISTINCT subexpressions: each
+    node costs its modeled wide multiplier when its inferred type is
+    64-bit, 1 (f32/i32 native) otherwise — mixed-width programs charge
+    only the wide subtrees."""
+
+    def is_wide_t(t) -> bool:
+        return t is not None and t.width > 32
+
+    def node_type(n):
+        try:
+            return program.infer_type(n)
+        except (TypeError, KeyError):
+            return None
+
+    ops = 0.0
+    seen: set = set()
+    for n in ir.walk(e):
+        if n in seen:
+            continue
+        seen.add(n)
+        wide = is_wide_t(node_type(n))
+        if isinstance(n, ir.BinOp):
+            if n.op in _CMP_OPS:
+                # compares of wide operands return int32 but cost limb
+                # compares
+                wide_cmp = any(is_wide_t(node_type(o))
+                               for o in (n.lhs, n.rhs))
+                ops += _WIDE_CMP if wide_cmp else 1
+            elif not wide:
+                ops += 1
+            elif node_type(n).is_float:
+                ops += _WIDE_FLT.get(n.op, 20.0)
+            elif n.op in ("/", "%"):
+                from ..interp.evaluator import _const_pow2
+
+                ops += (_WIDE_INT_DIV_POW2 if _const_pow2(n.rhs) is not None
+                        else _WIDE_INT_DIV)
+            else:
+                ops += _WIDE_INT.get(n.op, 4.0)
+        elif isinstance(n, ir.UnOp):
+            ops += 0 if n.op == "+" else (4.0 if wide else 1)
+        elif isinstance(n, ir.Select):
+            ops += _WIDE_CMP if wide else 1
+        elif isinstance(n, ir.Call):
+            if n.fn in _TRANSCENDENTALS:
+                ops += (_WIDE_CALL.get(n.fn, _WIDE_CALL_DEFAULT) if wide
+                        else TRANSCENDENTAL_WEIGHT)
+            else:
+                k = max(len(n.args) - 1, 1)
+                ops += k * (_WIDE_CMP if wide else 1)
+        elif isinstance(n, ir.Cast):
+            ops += 2.0 if wide else 1
+    return ops
 
 
 def ops_per_cell(program: StencilProgram) -> float:
     """Weighted VPU ops per cell for ONE sweep of all stages.  Programs
-    on the in-kernel 64-bit pair-carrier path cost ~WIDE_PAIR_OP_WEIGHT
-    VPU ops per DSL op (modeled)."""
+    on the in-kernel 64-bit pair-carrier path charge per-op pair-carrier
+    weights (modeled; see table above)."""
     from ..interp.wide64 import program_is_wide
 
-    base = sum(expr_ops(t.expr) for t in program.tensors.values()
-               if t.expr is not None)
     if program_is_wide(program):
-        return base * WIDE_PAIR_OP_WEIGHT
-    return base
+        return sum(expr_ops_wide(t.expr, program)
+                   for t in program.tensors.values() if t.expr is not None)
+    return sum(expr_ops(t.expr) for t in program.tensors.values()
+               if t.expr is not None)
 
 
 def vpu_bound_gcells(program: StencilProgram,

@@ -41,6 +41,7 @@ class CompileReport:
     vpu_ops_per_update: float | None = None
     est_vpu_bound_gcells: float | None = None
     compile_seconds: float | None = None
+    vpu_model: str = "per-op f32"
 
     def to_json(self) -> dict:
         d = dataclasses.asdict(self)
@@ -80,7 +81,7 @@ class CompileReport:
                      <= self.est_vpu_bound_gcells else "VPU")
             out.append(
                 f"  est. VPU bound (~3.85 Top/s f32, {self.vpu_ops_per_update:.1f}"
-                f" weighted ops/update incl. extent waste): "
+                f" weighted ops/update incl. extent waste, {self.vpu_model}): "
                 f"{self.est_vpu_bound_gcells:.1f} GCell-updates/s "
                 f"-> {which}-bound at {bound:.1f}")
         if self.compile_seconds is not None:
@@ -105,12 +106,16 @@ def analyze(plan: Plan, dtype_bytes: int = 4, program=None) -> CompileReport:
     frac = min(ideal / bpc, 1.0) if bpc > 0 else 0.0
     est = V5E_HBM_GBPS / bpc  # GB/s ÷ B/cell-update = Gcell-update/s
     vpu_ops = vpu_bound = None
+    vpu_model = "per-op f32"
     if program is not None:
+        from ..interp.wide64 import program_is_wide
         from .opcount import ops_per_cell, vpu_bound_gcells
 
         waste = max(g["compute_extent_ratio"] for g in pj["groups"])
         vpu_ops = ops_per_cell(program) * max(waste, 1.0)
         vpu_bound = vpu_bound_gcells(program, waste)
+        if program_is_wide(program):
+            vpu_model = "per-op-modeled pair carriers"
     return CompileReport(
         program=pj["program"],
         grid_shape=tuple(pj["grid_shape"]),
@@ -123,6 +128,7 @@ def analyze(plan: Plan, dtype_bytes: int = 4, program=None) -> CompileReport:
         ideal_bytes_per_cell_sweep=float(ideal_sweep),
         vpu_ops_per_update=vpu_ops,
         est_vpu_bound_gcells=vpu_bound,
+        vpu_model=vpu_model,
     )
 
 

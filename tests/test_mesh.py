@@ -423,3 +423,78 @@ def test_mesh_half_program():
     d = np.abs(gold[r:-r, r:-r].astype(np.float32)
                - got[r:-r, r:-r].astype(np.float32)).max()
     assert d < 2e-2
+
+
+# ---- uneven (non-divisible) grids: pad-to-shard with masked outputs -----
+# VERDICT r2 #1b: the reference host tiles ARBITRARY grids with overlapping
+# halos (SURVEY.md §2.1 host-codegen row); the mesh path pads each sharded
+# dim to a mesh-axis multiple, re-zeros the pad region after every exchange
+# chunk (so exchanged halos keep the zero-fill contract), and slices back.
+
+
+def test_uneven_1d_exchange_every_sweep_bit_exact():
+    """100×252 over 8 devices (shard 13, pad to 104): exchange-every-sweep
+    is BIT-exact vs the oracle on the whole grid, rim included."""
+    p = parse_file(SODA / "jacobi2d.soda")
+    x = rng.standard_normal((100, 252)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    got = run_sharded(p, {"t0": x}, axis_sizes=[8], sweeps_per_exchange=1)
+    assert got["t1"].shape == (100, 252)
+    assert np.array_equal(got["t1"], gold["t1"])
+
+
+def test_uneven_1d_deep_cadence_interior_exact():
+    """Deeper exchange cadences on uneven grids deviate only inside the
+    border-invalid rim (border: ignore) — interior matches the oracle."""
+    p = parse_file(SODA / "jacobi2d.soda")
+    x = rng.standard_normal((100, 252)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    got = run_sharded(p, {"t0": x}, axis_sizes=[8], sweeps_per_exchange=2)
+    check(p, got, gold)
+
+
+def test_uneven_2d_mesh_3d_grid_bit_exact():
+    """Both sharded dims non-divisible (20/4=5, 21/2=10.5→pad 22)."""
+    p = parse_file(SODA / "jacobi3d.soda")
+    x = rng.standard_normal((20, 21, 128)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x}, iterate=2)
+    got = run_sharded(p, {"t0": x}, axis_sizes=[4, 2], dims=[0, 1],
+                      iterate=2, sweeps_per_exchange=1)
+    assert np.array_equal(got["t1"], gold["t1"])
+
+
+def test_uneven_wide_i64_bit_exact():
+    """64-bit pair carriers pad per plane (zero planes ARE the zero
+    value) — uneven int64 grids stay bit-exact."""
+    p = parse_file(SODA / "accum64.soda")
+    x = rng.integers(-(1 << 40), 1 << 40, (50, 251)).astype(np.int64)
+    gold = numpy_interp.run(p, {p.input_names[0]: x})
+    got = run_sharded(p, {p.input_names[0]: x}, axis_sizes=[8])
+    k = p.output_names[0]
+    assert got[k].shape == (50, 251)
+    assert np.array_equal(got[k], gold[k])
+
+
+def test_uneven_overlap_and_pallas_local():
+    """The comms/compute-overlap path and the Pallas local backend both
+    honor pad-to-shard masking."""
+    p = parse_file(SODA / "jacobi2d.soda")
+    x = rng.standard_normal((100, 251)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    got_o = run_sharded(p, {"t0": x}, axis_sizes=[8], sweeps_per_exchange=1,
+                        overlap=True)
+    assert np.array_equal(got_o["t1"], gold["t1"])
+    got_p = run_sharded(p, {"t0": x}, axis_sizes=[8], sweeps_per_exchange=1,
+                        local_backend="pallas", interpret=True)
+    assert np.array_equal(got_p["t1"], gold["t1"])
+
+
+def test_uneven_grid_smaller_than_mesh():
+    """Degenerate: a 5-row grid over 8 devices leaves whole shards in the
+    pad region; they compute zeros and never pollute real shards."""
+    p = parse_file(SODA / "jacobi2d.soda")
+    x = rng.standard_normal((5, 128)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    got = run_sharded(p, {"t0": x}, axis_sizes=[8], sweeps_per_exchange=1)
+    assert got["t1"].shape == (5, 128)
+    assert np.array_equal(got["t1"], gold["t1"])
