@@ -87,13 +87,14 @@ def main() -> int:
                   for p in program.params.values()}
             from soda_tpu.interp.wide64 import program_is_wide
 
+            fn = jax.jit(pb.build_fn(program, the_plan=pl))
             if program_is_wide(program):
-                # wide kernels are host-driven (numpy plane split/merge)
-                fn = pb.build_fn(program, the_plan=pl)
-                jins = dict(ins)
-                jps = dict(ps)
+                # wide programs jit end-to-end over W pair carriers
+                from soda_tpu.backend.pallas import (to_wide_params,
+                                                     to_wide_values)
+                jins = to_wide_values(program, ins)
+                jps = to_wide_params(program, ps)
             else:
-                fn = jax.jit(pb.build_fn(program, the_plan=pl))
                 jins = {k: jnp.asarray(v) for k, v in ins.items()}
                 jps = {k: jnp.asarray(v) for k, v in ps.items()}
             out = fn(jins, jps)

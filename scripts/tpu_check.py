@@ -33,14 +33,16 @@ SHAPES = {1: (2048,), 2: (48, 128), 3: (24, 32, 128)}
 # than production sizes (windows vs linebuffer-at-scale, hybrid rim,
 # trapezoid depth), so one oracle-checked PRODUCTION-size config per
 # strategy runs here too — the sizes the benchmark table advertises.
-# (program, shape, iterate override, expected strategy)
+# (program, shape, iterate override, forced sweeps, expected strategy)
 AT_SIZE = [
-    ("jacobi3d", (512, 512, 512), None, "linebuffer"),  # 3-D z-march
-    ("jacobi3d", (500, 500, 500), None, "linebuffer"),  # aligned-core + rim
-    ("jacobi2d", (2048, 2048), None, "strips"),         # trapezoid it=8
-    ("accum64", (2048, 2048), None, "strips"),          # wide pair carriers
-    ("blur", (2048, 4096), None, "linebuffer"),         # 2-D row-march
-    ("heat3d", (256, 256, 256), None, "strips"),        # fused-sweep 3-D
+    ("jacobi3d", (512, 512, 512), None, None, "linebuffer"),  # 3-D z-march
+    ("jacobi3d", (500, 500, 500), None, None, "linebuffer"),  # core + rim
+    ("jacobi2d", (2048, 2048), None, None, "strips"),     # trapezoid it=8
+    ("accum64", (2048, 2048), None, None, "linebuffer"),  # wide pair LB
+    ("poisson_f64", (2048, 2048), None, None, "linebuffer"),  # DS-f64 LB
+    ("jacobi2d_i64", (2048, 2048), None, 20, "strips"),   # wide fori x20
+    ("blur", (2048, 4096), None, None, "linebuffer"),     # 2-D row-march
+    ("heat3d", (256, 256, 256), None, None, "strips"),    # fused-sweep 3-D
 ]
 
 
@@ -74,6 +76,8 @@ def _compare(p, got, gold, rim):
     tol = 2e-2 if half else 1e-4
     for k in gold:
         a, b = interior(got[k]), interior(gold[k])
+        if a.size == 0:
+            return False  # refuse a vacuous pass on an all-rim grid
         if not p.tensors[k].type.is_float:
             if not np.array_equal(a, b):
                 return False
@@ -88,10 +92,10 @@ def run_at_size(rng) -> int:
     from soda_tpu.plan.planner import plan as make_plan
 
     failures = 0
-    for name, shape, it, want_strategy in AT_SIZE:
+    for name, shape, it, sweeps, want_strategy in AT_SIZE:
         p = parse_file(SODA / f"{name}.soda",
                        overrides={"iterate": it} if it else None)
-        pl = make_plan(p, shape)
+        pl = make_plan(p, shape, sweeps=sweeps)
         strat = pl.groups[0].strategy
         label = f"{name} {'x'.join(map(str, shape))}"
         if strat != want_strategy:
@@ -152,7 +156,15 @@ def main() -> int:
 
             cgold = cpp_backend.compile_and_run(p, ins, ps)
             for k in gold:
-                if not np.array_equal(cgold[k], gold[k]):
+                if p.uses_libm_transcendentals():
+                    # exp/log/trig: libm vs numpy differ by ~1 ulp
+                    ok_c = np.allclose(
+                        np.asarray(cgold[k], np.float64),
+                        np.asarray(gold[k], np.float64),
+                        rtol=1e-13, atol=1e-300)
+                else:
+                    ok_c = np.array_equal(cgold[k], gold[k])
+                if not ok_c:
                     print(f"{pathlib.Path(f).stem}: C++/NumPy oracle mismatch!")
                     failures += 1
         try:

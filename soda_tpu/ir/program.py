@@ -238,6 +238,22 @@ class StencilProgram:
                 r = max(r, -lo, hi)
         return r
 
+    def uses_libm_transcendentals(self) -> bool:
+        """True when any stage calls a transcendental whose result is NOT
+        IEEE-correctly-rounded (exp/log/trig/pow): C++ libm and numpy may
+        then differ by ~1 ulp, so the C++ == NumPy oracle equivalence is
+        gated at ulp tolerance instead of bit-exact.  sqrt/rsqrt stay
+        bit-exact (IEEE-correct in both)."""
+        libm = {"exp", "exp2", "log", "log2", "sin", "cos", "tan",
+                "tanh", "pow"}
+        for t in self.tensors.values():
+            if t.expr is None:
+                continue
+            for n in ir.walk(t.expr):
+                if isinstance(n, ir.Call) and n.fn in libm:
+                    return True
+        return False
+
     def valid_rim(self, iterate: int | None = None) -> int:
         """Width of the border-invalid rim (`border: ignore`): cumulative
         radius × number of temporal sweeps."""

@@ -54,7 +54,15 @@ class ScalarType:
         kind = "uint" if m.group(1) == "uint" else "int"
         width = int(m.group(2))
         if not 1 <= width <= 64:
-            raise ValueError(f"unsupported integer width {width} in {s!r}")
+            # The reference's ap_[u]int<N> is arbitrary-width; this TPU
+            # rebuild supports 1..64 (1..32 native, 33..64 as exact
+            # paired-32-bit carriers — interp/wide64.py).  >64-bit would
+            # need 4-limb carriers; deviation recorded in PARITY.md.
+            raise ValueError(
+                f"unsupported integer width {width} in {s!r}: this "
+                f"TPU backend supports int1..int64/uint1..uint64 "
+                f"(33..64-bit via exact 32-bit limb pairs); widths "
+                f"above 64 are not implemented (PARITY.md deviation)")
         return ScalarType(kind, width)
 
     # ---- properties -----------------------------------------------------

@@ -323,6 +323,97 @@ def _poly_factors(p: list[Fraction]) -> list[list[Fraction]]:
                         _, r = _poly_divmod(p, cand)
                         if not r:
                             out.append(cand)
+    if deg >= 6:
+        # bounded Kronecker search for CUBIC factors (VERDICT r2 #9: the
+        # old search stopped at quadratics, so kernels whose only factors
+        # are irreducible cubics — e.g. (1+y+y³)² — found no reuse).  A
+        # true integer factor F satisfies F(x) | P(x) at every integer x:
+        # enumerate divisor tuples of P at 4 points, interpolate the
+        # unique cubic through them, and trial-divide.  Capped.
+        for cand in _kronecker_factors(p, 3, cap=4000, seen=seen):
+            out.append(cand)
+    return out
+
+
+def _kronecker_factors(p: list[Fraction], k: int, cap: int,
+                       seen: set[tuple]) -> list[list[Fraction]]:
+    """Degree-k integer factors of primitive integer poly `p` by
+    Kronecker's method: a factor's values at x = 0, 1, -1, 2, ... divide
+    p's values there; each divisor tuple interpolates one candidate.
+    Bounded by `cap` trial divisions — stencil class polynomials are tiny
+    (degree <= ~8, coefficients <= ~64 after primitivization)."""
+    xs = [0, 1, -1, 2, -2][:k + 1]
+
+    def peval(poly, x):
+        v = Fraction(0)
+        for c in reversed(poly):
+            v = v * x + c
+        return int(v)
+
+    vals = [peval(p, x) for x in xs]
+    if any(v == 0 for v in vals):
+        # a root among the sample points means a linear factor the
+        # rational-root search already found; skip (Kronecker needs
+        # nonzero values to enumerate divisors)
+        return []
+
+    def divs_signed(n):
+        n = abs(n)
+        out = []
+        d = 1
+        while d * d <= n:
+            if n % d == 0:
+                out.extend((d, -d))
+                if d != n // d:
+                    out.extend((n // d, -(n // d)))
+            d += 1
+        return out
+
+    dsets = [divs_signed(v) for v in vals]
+    total = 1
+    for ds in dsets:
+        total *= len(ds)
+    if total > cap * 8:
+        # trim: keep the smallest divisors per point (factor values at
+        # small x are small for small-coefficient factors)
+        dsets = [sorted(ds, key=abs)[:12] for ds in dsets]
+
+    out: list[list[Fraction]] = []
+    tried = 0
+    import itertools as _it
+
+    for combo in _it.product(*dsets):
+        tried += 1
+        if tried > cap:
+            break
+        # Lagrange-interpolate the degree-k poly through (xs[i], combo[i])
+        coeffs = [Fraction(0)] * (k + 1)
+        ok = True
+        for i, (xi, yi) in enumerate(zip(xs, combo)):
+            li = [Fraction(1)]
+            denom = 1
+            for j2, xj in enumerate(xs):
+                if j2 == i:
+                    continue
+                # li *= (y - xj)
+                li = [Fraction(0)] + li
+                for t in range(len(li) - 1):
+                    li[t] -= Fraction(xj) * li[t + 1]
+                denom *= (xi - xj)
+            for t in range(len(li)):
+                coeffs[t] += Fraction(yi, denom) * li[t]
+        if any(c.denominator != 1 for c in coeffs) or coeffs[k] == 0:
+            ok = False
+        if not ok:
+            continue
+        cand = _poly_primitive(coeffs)
+        key = tuple(cand)
+        if key in seen or len(cand) != k + 1:
+            continue
+        seen.add(key)
+        _, r = _poly_divmod(p, cand)
+        if not r:
+            out.append(cand)
     return out
 
 
@@ -355,15 +446,13 @@ def _primitive(d: tuple[int, ...]) -> tuple[int, ...] | None:
     return None
 
 
-def _search(taps: list[tuple[tuple[int, ...], Coeff]], is_int: bool
-            ) -> _Rewrite | None:
+def _enum_rewrites(taps: list[tuple[tuple[int, ...], Coeff]], is_int: bool):
+    """Yield every valid one-level (d, C) factorization of the tap set."""
     n = len(taps)
     if n < 3:
-        return None
+        return
     offsets = [o for o, _ in taps]
     wmap = dict(taps)
-    old_cost = _sum_cost(taps)
-    best: _Rewrite | None = None
 
     dirs: list[tuple[int, ...]] = []
     seen_d: set[tuple[int, ...]] = set()
@@ -451,10 +540,61 @@ def _search(taps: list[tuple[tuple[int, ...], Coeff]], is_int: bool
                 continue
             outer = [(tuple(k * x for x in d), Coeff(ck))
                      for k, ck in enumerate(C) if ck != 0]
-            new_cost = _sum_cost(hoisted) + _sum_cost(outer)
-            saved = old_cost - new_cost
-            if saved > 0 and (best is None or saved > best.saved_ops):
-                best = _Rewrite(sorted(hoisted), outer, saved)
+            yield _Rewrite(sorted(hoisted), outer, 0)
+
+
+def _canon(taps: list[tuple[tuple[int, ...], Coeff]]) -> tuple:
+    """Shift-normalized hashable key for a tap set (cost is
+    shift-invariant, so decomposition search memoizes on this)."""
+    if not taps:
+        return ()
+    rank = len(taps[0][0])
+    mins = [min(o[d] for o, _ in taps) for d in range(rank)]
+    return tuple(sorted(
+        (tuple(a - m for a, m in zip(o, mins)), c) for o, c in taps))
+
+
+def _opt_cost(taps: list[tuple[tuple[int, ...], Coeff]], is_int: bool,
+              memo: dict, depth: int = 4) -> int:
+    """Minimal TOTAL op count of any bounded multi-level decomposition of
+    the tap set (VERDICT r2 #9: global selection — candidates are scored
+    by their fully-decomposed cost, not the one-level cost, so the chosen
+    first-level rewrite is the head of an optimal decomposition within
+    the candidate enumeration).  Memoized on the shift-normalized tap
+    set; depth-bounded (stencil factor chains are shallow)."""
+    key = _canon(taps)
+    if key in memo:
+        return memo[key]
+    base = _sum_cost(taps)
+    memo[key] = base  # cycle guard / depth-0 value
+    if depth <= 0 or len(taps) < 3:
+        return base
+    best = base
+    for rw in _enum_rewrites(taps, is_int):
+        tot = (_opt_cost(rw.hoisted, is_int, memo, depth - 1)
+               + _opt_cost(rw.outer, is_int, memo, depth - 1))
+        if tot < best:
+            best = tot
+    memo[key] = best
+    return best
+
+
+def _search(taps: list[tuple[tuple[int, ...], Coeff]], is_int: bool
+            ) -> _Rewrite | None:
+    """Best first-level rewrite by GLOBAL (multi-level) cost; None when no
+    decomposition beats evaluating the sum directly.  Fixed-point passes
+    then decompose the hoisted/outer children, whose memoized optimum
+    agrees with the total chosen here."""
+    old_cost = _sum_cost(taps)
+    memo: dict = {}
+    best: _Rewrite | None = None
+    best_total = old_cost
+    for rw in _enum_rewrites(taps, is_int):
+        tot = (_opt_cost(rw.hoisted, is_int, memo)
+               + _opt_cost(rw.outer, is_int, memo))
+        if tot < best_total:
+            best_total = tot
+            best = _Rewrite(rw.hoisted, rw.outer, old_cost - tot)
     return best
 
 

@@ -224,12 +224,9 @@ def build_sharded_fn(
     # (exact s64/u64, double-single f64 — same as the Pallas wide mode).
     # Synthetic compiler-generated int64 partial sums in 32-bit programs
     # keep int32 local compute (documented).
+    # wide + pallas local compute traces since W pair carriers became a
+    # pytree: the per-shard Pallas group fns consume/produce W directly
     wide = wide64.program_is_wide(program)
-    if wide and local_backend == "pallas":
-        raise NotImplementedError(
-            f"program {program.name!r} uses 64-bit types: the mesh's "
-            "pallas local backend is host-driven for pair carriers and "
-            "cannot trace under shard_map; use local_backend='xla'")
     axis_names = mesh.axis_names
     if dims is None:
         dims = tuple(range(len(axis_names)))
@@ -463,7 +460,7 @@ def build_sharded_fn(
             for n in out_names:
                 x = outs_full[n]
                 for d, (lo, hi, _ax) in halos.items():
-                    x = jax.lax.slice_in_dim(x, lo, x.shape[d] - hi, axis=d)
+                    x = _slice_dim(x, lo, x.shape[d] - hi, d)
                 out[n] = x
             return out
 

@@ -539,7 +539,10 @@ def _plan_group(
     #    so every concat/slice in the kernel is tile-aligned (round 1's
     #    unaligned sublane concat is what hung Mosaic). ------------------
     if (rank == 2 and nf == 1 and block_override is None
-            and ext_inputs and not windows_only):
+            and ext_inputs):
+        # wide (pair-carrier) programs ride the line buffer too: planes
+        # stream as two 32-bit operands with two plane carries (the
+        # io_bytes/dtype_bytes terms below already count 8 B/cell)
         H, W = grid_shape
         Hc = core[0]
         r_lo = max(-spans[i][0][0] for i in ext_inputs)
@@ -561,6 +564,10 @@ def _plan_group(
                         + (bh + rlo8) * W * in_io   # carry scratch
                         + S * W * dtype_bytes * (len(ext_inputs)
                                                  + len(members) + 1))
+                if windows_only:
+                    # pair-carrier limb temporaries stay live across the
+                    # two-plane evaluation (same 2x as evaluate())
+                    vmem *= 2
                 if vmem > vmem_budget:
                     continue
                 reads = (G + 1) * bh * W * in_io
@@ -717,7 +724,8 @@ def plan(
         notes.append(
             "64-bit tensors: paired-32-bit carriers in-kernel "
             "(windows/strips strategies); fused sweeps run the trapezoid "
-            f"schedule only (capped at {TRAPEZOID_MAX_SWEEPS})")
+            f"schedule up to {TRAPEZOID_MAX_SWEEPS}, then a pair-carrying "
+            "constant-extent fori_loop")
 
     def whole(nf):
         return _plan_group(
@@ -740,12 +748,6 @@ def plan(
         notes.append(
             "wide integer division: fused sweeps disabled "
             "(64-step pair division per sweep — compile-cost guard)")
-    elif wide and nf > TRAPEZOID_MAX_SWEEPS:
-        # pair-carrier kernels fuse sweeps only on the trapezoid path
-        # (the fori carry is a single array, not a limb pair)
-        nf = TRAPEZOID_MAX_SWEEPS
-        notes.append(
-            f"64-bit pair carriers: fused sweeps capped at {nf} (trapezoid)")
     if len(program.input_names) > 1 and nf > TRAPEZOID_MAX_SWEEPS:
         # auxiliary iterate inputs require the trapezoid kernel path (the
         # constant-extent fori carries only the feedback tensor): cap fused
@@ -768,12 +770,14 @@ def plan(
         from ..utils.report import V5E_HBM_GBPS
 
         ops = ops_per_cell(program)
-        # auxiliary-input and pair-carrier programs can only fuse sweeps
-        # on the trapezoid path (the fori carry is one array); wide
-        # division caps at one sweep (compile-cost guard above)
+        # auxiliary-input programs can only fuse sweeps on the trapezoid
+        # path (the fori carry is the feedback tensor alone); wide
+        # division caps at one sweep (compile-cost guard above).  Plain
+        # wide programs fuse freely — the fori carry rides W pair
+        # carriers (pytree) beyond the trapezoid cap.
         nf_cap = (1 if wide_div else
                   TRAPEZOID_MAX_SWEEPS
-                  if len(program.input_names) > 1 or wide else it)
+                  if len(program.input_names) > 1 else it)
         best_nf, best_score, best_g = None, -1.0, None
         for cand in sorted({d for d in range(1, it + 1)
                             if it % d == 0 and d <= nf_cap}):

@@ -90,7 +90,15 @@ def test_cpp_golden_bit_exact(path, tmp_path):
     gold = numpy_interp.run(p, ins, ps)
     got = cpp_backend.compile_and_run(p, ins, ps, workdir=tmp_path)
     for k in gold:
-        assert np.array_equal(got[k], gold[k]), f"{k} not bit-exact vs C++"
+        if p.uses_libm_transcendentals():
+            # exp/log/trig are not IEEE-correctly-rounded: C++ libm and
+            # numpy may differ by ~1 ulp — gate at ulp scale
+            assert np.allclose(got[k].astype(np.float64),
+                               gold[k].astype(np.float64),
+                               rtol=1e-13, atol=1e-300), f"{k} vs C++"
+        else:
+            assert np.array_equal(got[k], gold[k]), \
+                f"{k} not bit-exact vs C++"
 
 
 def test_pallas_sweep_chunking():

@@ -169,3 +169,23 @@ def test_syntax_error_names_location():
     line and column, not a raw lark exception."""
     with pytest.raises(ValueError, match="syntax error at line 1"):
         parse("kernel blur\ninput float: a(*)\noutput float: b(0) = a(0)\n")
+
+
+def test_multi_output_iterate_rejected():
+    """iterate > 1 with two outputs is a typed error (docs/SEMANTICS.md:
+    the feedback pair is first-input <- single-output; multi-output
+    feedback semantics are deliberately not guessed)."""
+    src = ("kernel: mo\niterate: 4\ninput float: a(64, *)\n"
+           "output float: b(0,0) = a(-1,0) + a(1,0)\n"
+           "output float: c(0,0) = a(0,-1) + a(0,1)\n")
+    with pytest.raises(ValueError, match="iterate > 1 requires"):
+        parse(src)
+
+
+def test_uint128_rejected_with_documented_message():
+    """Integer widths above 64 fail loudly, naming the supported surface
+    (reference ap_uint<N> is arbitrary-width — PARITY.md deviation)."""
+    src = ("kernel: w128\ninput uint128: a(64, *)\n"
+           "output uint128: b(0,0) = a(0,0) + a(0,1)\n")
+    with pytest.raises(ValueError, match="int1..int64.*PARITY"):
+        parse(src)

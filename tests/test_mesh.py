@@ -232,10 +232,11 @@ def test_multihop_halo_exchange():
 
 
 def test_mesh_wide_i64_bit_exact():
-    """Round 2: 64-bit programs shard as plane pairs — per-plane ppermute
-    halo exchange + pair-carrier local compute — bit-exact vs the int64
-    oracle (the old loud rejection is gone; only the pallas LOCAL backend
-    still rejects, being host-driven for pairs)."""
+    """64-bit programs shard as plane pairs — per-plane ppermute halo
+    exchange + pair-carrier local compute — bit-exact vs the int64 oracle.
+    Round 3: the Pallas LOCAL backend traces too (W pair carriers are a
+    pytree), so wide shards get Pallas-quality local compute under
+    shard_map — also bit-exact."""
     from soda_tpu.frontend.parser import parse
 
     src = ("kernel: m64\niterate: 4\ninput int64: a(128, *)\n"
@@ -249,9 +250,10 @@ def test_mesh_wide_i64_bit_exact():
     r = p.valid_rim()
     assert got.dtype == np.int64
     assert np.array_equal(gold[r:-r, r:-r], got[r:-r, r:-r])
-    with pytest.raises(NotImplementedError, match="local_backend"):
-        run_sharded(p, {"a": x}, axis_sizes=[8], local_backend="pallas",
-                    interpret=True)
+    got_p = run_sharded(p, {"a": x}, axis_sizes=[8], local_backend="pallas",
+                        interpret=True)["out"]
+    assert got_p.dtype == np.int64
+    assert np.array_equal(gold[r:-r, r:-r], got_p[r:-r, r:-r])
 
 
 def test_mesh_wide_f64_and_nested_cadence():

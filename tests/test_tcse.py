@@ -351,3 +351,46 @@ def test_wide_hoists_stay_tpu_runnable():
     b = pb.run(q, {"a": x}, interpret=True)["out"]
     r = max(p.valid_rim(), q.valid_rim())
     assert np.array_equal(a[r:-r, r:-r], b[r:-r, r:-r])
+
+
+def test_cubic_factor_global_selection():
+    """VERDICT r2 #9: (1+y+y³)² has ONLY an irreducible cubic factor —
+    the old quadratic-capped per-level search found no reuse; the
+    Kronecker-bounded cubic search + global (multi-level memoized) cost
+    selection decomposes it to the 4-add/0-mul chain, bit-exact."""
+    src = ("kernel: cub\ninput int32: a(128, *)\n"
+           "output int32: out(0,0) = a(0,0) + 2 * a(0,1) + a(0,2)"
+           " + 2 * a(0,3) + 2 * a(0,4) + a(0,6)\n")
+    p = parse(src)
+    q = tcse.apply(p)
+    assert len(q.tensors) == 3  # one hoisted cubic stage
+    # 5 adds + 3 muls -> 4 adds + 0 muls (both levels unit-coefficient)
+    assert tcse.count_adds(q) < tcse.count_adds(p)
+    from soda_tpu.ir import expr as ir
+    muls = sum(1 for t in q.tensors.values() if t.expr is not None
+               for n in ir.walk(t.expr)
+               if isinstance(n, ir.BinOp) and n.op == "*")
+    assert muls == 0
+    x = np.random.default_rng(0).integers(0, 1000, (16, 64)).astype(np.int32)
+    g0 = numpy_interp.run(p, {"a": x})["out"]
+    g1 = numpy_interp.run(q, {"a": x})["out"]
+    r = max(p.valid_rim(), q.valid_rim())
+    assert np.array_equal(g0[r:-r, r:-r], g1[r:-r, r:-r])
+
+
+def test_global_selection_scores_full_decomposition():
+    """The selector scores candidates by fully-decomposed cost: for
+    (1+y)⁴ the first-level choice is the head of the 4-add binomial
+    chain and the fixed point reaches it."""
+    src = ("kernel: bin\ninput int32: a(128, *)\n"
+           "output int32: out(0,0) = a(0,0) + 4 * a(0,1) + 6 * a(0,2)"
+           " + 4 * a(0,3) + a(0,4)\n")
+    p = parse(src)
+    q = tcse.apply(p)
+    # full binomial chain: 4 one-add stages, no multiplies
+    assert tcse.count_adds(q) == 4
+    x = np.random.default_rng(1).integers(0, 500, (16, 64)).astype(np.int32)
+    g0 = numpy_interp.run(p, {"a": x})["out"]
+    g1 = numpy_interp.run(q, {"a": x})["out"]
+    r = max(p.valid_rim(), q.valid_rim())
+    assert np.array_equal(g0[r:-r, r:-r], g1[r:-r, r:-r])

@@ -302,9 +302,10 @@ def test_fuzz_wide_pallas_bit_exact(seed):
 
 
 def test_pallas_wide_unaligned_grids_use_strips():
-    """Unaligned wide grids keep the pad-free strips strategy: the hybrid
-    rim path evaluates pair carriers (Python-looped sweeps) and stitches
-    merged numpy rims — bit-exact, incl. iterate trapezoid."""
+    """Unaligned wide grids keep a pad-free strategy (r3: the pair-aware
+    2-D line buffer now beats strips on traffic): the hybrid rim path
+    evaluates pair carriers and stitches plane rims traced — bit-exact,
+    incl. iterate trapezoid."""
     from soda_tpu.plan.planner import plan
 
     src = ("kernel: wu\ninput int64: a(128, *)\n"
@@ -313,7 +314,7 @@ def test_pallas_wide_unaligned_grids_use_strips():
     p = parse(src)
     for gs in ((500, 512), (61, 130)):
         pl = plan(p, gs, vmem_budget=8 * 2**20)
-        assert pl.groups[0].strategy == "strips"
+        assert pl.groups[0].strategy in ("strips", "linebuffer")
         assert pl.groups[0].core is not None
         x = rng.integers(-2**50, 2**50, gs, dtype=np.int64)
         gold = numpy_interp.run(p, {"a": x})["out"]
@@ -370,3 +371,151 @@ def test_unroll_iterate_composes_with_wide():
     got = pb.run(pu, {"a": x}, interpret=True)[pu.output_names[0]]
     r = p.valid_rim()
     assert np.array_equal(gold[r:-r, r:-r], got[r:-r, r:-r])
+
+
+# ---- round 3: traced wide path (W is a pytree) --------------------------
+
+
+def test_wide_linebuffer_2d_bit_exact():
+    """The 2-D line buffer is pair-aware: 64-bit tensors stream as two
+    plane operands with plane carries — one HBM read per cell (16.03 vs
+    strips' 16.25 B/cell at 2048²) and bit-exact vs the int64 oracle."""
+    from soda_tpu.plan.planner import plan
+
+    src = ("kernel: wlb\ninput int64: a(256, *)\n"
+           "output int64: out(0,0) = a(-1,0) + a(1,0) * int64(7)"
+           " + (a(0,-1) >> 1) + a(0,1)\n")
+    p = parse(src)
+    pl = plan(p, (64, 128))
+    assert pl.groups[0].strategy == "linebuffer"
+    x = rng.integers(-2**50, 2**50, (64, 128), dtype=np.int64)
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = pb.run(p, {"a": x}, interpret=True, the_plan=pl)["out"]
+    assert np.array_equal(gold, got)  # zero-preserving: full-grid exact
+
+    # double rides the same kernel at double-single accuracy
+    src_d = ("kernel: wlbd\ninput double: a(256, *)\n"
+             "output double: out(0,0) = (a(-1,0) + a(1,0) + a(0,-1)"
+             " + a(0,1)) * 0.25\n")
+    pd = parse(src_d)
+    pld = plan(pd, (64, 128))
+    assert pld.groups[0].strategy == "linebuffer"
+    y = rng.standard_normal((64, 128))
+    gd = numpy_interp.run(pd, {"a": y})["out"]
+    od = pb.run(pd, {"a": y}, interpret=True, the_plan=pld)["out"]
+    assert np.abs(gd - od).max() < 1e-12
+
+
+def test_wide_fori_deep_iterate_bit_exact():
+    """Fused sweeps beyond the trapezoid cap carry W pairs through the
+    constant-extent fori_loop — deep-iterate int64 stays bit-exact and
+    the plan reports traffic ÷ nf (VERDICT r2 #2)."""
+    from soda_tpu.plan.planner import TRAPEZOID_MAX_SWEEPS, plan
+
+    src = ("kernel: wdeep\niterate: 24\ninput int64: a(96, *)\n"
+           "output int64: out(0,0) = a(-1,0) + a(1,0) * int64(3)"
+           " + (a(0,-1) >> 2) + a(0,1)\n")
+    p = parse(src)
+    pl = plan(p, (96, 128), sweeps=24)
+    g = pl.groups[0]
+    assert g.sweeps == 24 > TRAPEZOID_MAX_SWEEPS and not g.trapezoid
+    # fused traffic ÷ nf: per-update bytes well below one sweep's 16
+    assert g.hbm_bytes_per_call / g.useful_cells_per_call < 16 / 8
+    x = rng.integers(-2**40, 2**40, (96, 128), dtype=np.int64)
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = pb.run(p, {"a": x}, interpret=True, the_plan=pl)["out"]
+    r = p.valid_rim()
+    assert np.array_equal(gold[r:-r, r:-r], got[r:-r, r:-r])
+
+
+def test_wide_jit_end_to_end():
+    """Wide programs jit end-to-end: inputs/params split once into W pair
+    carriers (a pytree) at the boundary, the whole chunk chain traces,
+    and results match the un-jitted run bit-for-bit."""
+    import jax
+
+    from soda_tpu.backend.pallas import (build_fn, finalize_outputs,
+                                         to_wide_params, to_wide_values)
+    from soda_tpu.plan.planner import plan
+
+    src = ("kernel: wjit\niterate: 4\ninput int64: a(128, *)\n"
+           "param int64: k\n"
+           "output int64: out(0,0) = (a(-1,0) + a(1,0) + a(0,-1)"
+           " + a(0,1)) * k\n")
+    p = parse(src)
+    pl = plan(p, (64, 128), sweeps=2)  # 2 chunked calls trace in one jit
+    x = rng.integers(-2**40, 2**40, (64, 128), dtype=np.int64)
+    ps = {"k": np.int64(3_000_000_019)}
+    fn = jax.jit(build_fn(p, the_plan=pl, interpret=True))
+    outs = fn(to_wide_values(p, {"a": x}), to_wide_params(p, ps))
+    got = finalize_outputs(p, outs)["out"]
+    gold = numpy_interp.run(p, {"a": x}, ps)["out"]
+    r = p.valid_rim()
+    assert got.dtype == np.int64
+    assert np.array_equal(gold[r:-r, r:-r], got[r:-r, r:-r])
+
+
+def test_ds_exp_log_accuracy():
+    """VERDICT r2 #8: exp/log/exp2/log2/pow are DS-accurate (three-part
+    ln2 reduction + DS series) — ~1e-12 vs the f64 oracle, far beyond
+    the old f32-accuracy fallback; specials saturate like IEEE f32."""
+    xp = WideXP(np)
+
+    def ds(v):
+        lo, hi = split_planes(np.asarray(v, np.float64))
+        return W("d", hi, lo, np)
+
+    def err(w, want):
+        got = merge_planes(w.b, w.a, np.float64)
+        return np.max(np.abs(got - want) / np.maximum(np.abs(want), 1e-300))
+
+    r = np.random.default_rng(11)
+    x = r.standard_normal(20000) * 10.0 ** r.integers(-4, 2, 20000)
+    pos = np.abs(x) + 1e-6
+    assert err(xp.exp(ds(x)), np.exp(x)) < 1e-10
+    assert err(xp.log(ds(pos)), np.log(pos)) < 1e-10
+    assert err(xp.exp2(ds(x)), np.exp2(x)) < 1e-10
+    assert err(xp.log2(ds(pos)), np.log2(pos)) < 1e-10
+    b = r.standard_normal(20000)
+    assert err(xp.power(ds(pos), ds(b)), pos ** b) < 1e-10
+    sp = merge_planes(xp.exp(ds(np.array([np.inf, -np.inf, np.nan]))).b,
+                      xp.exp(ds(np.array([np.inf, -np.inf, np.nan]))).a,
+                      np.float64)
+    assert sp[0] == np.inf and sp[1] == 0.0 and np.isnan(sp[2])
+    lg = merge_planes(xp.log(ds(np.array([0.0, -1.0]))).b,
+                      xp.log(ds(np.array([0.0, -1.0]))).a, np.float64)
+    assert lg[0] == -np.inf and np.isnan(lg[1])
+
+
+def test_ds_exp_through_pallas_matches_f64_oracle():
+    """A poisson-style double program with exp matches the f64 oracle to
+    1e-10 through the Pallas path (VERDICT r2 #8 done-criterion)."""
+    src = ("kernel: pexp\ninput double: a(128, *)\n"
+           "output double: out(0,0) = exp((a(-1,0) + a(1,0) + a(0,-1)"
+           " + a(0,1)) * 0.1) + log(abs(a(0,0)) + 1.0)\n")
+    p = parse(src)
+    x = rng.standard_normal((48, 128))
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = pb.run(p, {"a": x}, interpret=True)["out"]
+    assert np.abs(gold - got).max() / np.abs(gold).max() < 1e-10
+
+
+def test_ds_inf_nan_semantics():
+    """ADVICE r2: DS x/±0 gives sign-correct ±inf (0/0 NaN); DS min/max
+    propagate NaN like numpy minimum/maximum."""
+    xp = WideXP(np)
+
+    def ds(v):
+        lo, hi = split_planes(np.asarray(v, np.float64))
+        return W("d", hi, lo, np)
+
+    def out(w):
+        return merge_planes(w.b, w.a, np.float64)
+
+    with np.errstate(all="ignore"):
+        q = out(ds(np.array([1.0, -1.0, 0.0])) / ds(np.array([0.0, 0.0, 0.0])))
+    assert q[0] == np.inf and q[1] == -np.inf and np.isnan(q[2])
+    n = np.array([np.nan, 1.0, np.nan])
+    m = np.array([2.0, np.nan, np.nan])
+    assert np.isnan(out(xp.minimum(ds(n), ds(m)))).all()
+    assert np.isnan(out(xp.maximum(ds(n), ds(m)))).all()
