@@ -155,9 +155,15 @@ def main() -> int:
                 # ternary/min-max comparisons flip under that channel
                 # (f16 rounds tiny sums to exact 0 where f32 keeps a
                 # sign) and iterate feedback spreads the flipped cells
-                # (~0.6% observed at iterate=4) — gate the BULK at f16
-                # scale; systematic bugs corrupt ~100% of cells
-                ok = np.quantile(rel, 0.98) < 3e-2
+                # (~0.6% observed at iterate=4).  ADVICE r2: at
+                # iterate=1 flips CANNOT spread, so gate max error at
+                # f16 scale there; with feedback, bound the FRACTION of
+                # cells beyond f16 tolerance (a systematic defect — even
+                # a single corrupted boundary row — exceeds 2%)
+                if p.iterate <= 1:
+                    ok = rel.max() < 3e-2
+                else:
+                    ok = np.mean(rel >= 3e-2) < 0.02
             else:
                 ok = rel.max() < 1e-10
         else:

@@ -112,6 +112,12 @@ def make_parser() -> argparse.ArgumentParser:
                     help="halo-exchange cadence for --mesh: one value, or "
                          "one per mesh axis (each must divide iterate and "
                          "form a divisor chain); default: modeled auto")
+    ap.add_argument("--link-model", type=str, default=None,
+                    metavar="CLASS=GBPS:LAT[,...]",
+                    help="calibrate the mesh link model driving auto "
+                         "cadence choice, e.g. 'ici=90:2e-6,dcn=6.25:1e-4' "
+                         "(also via SODA_LINK_MODEL env); defaults are "
+                         "modeled, not measured — see parallel/mesh.py")
     ap.add_argument("--compile-cache", type=str, default=None,
                     help="persistent XLA compilation cache directory")
     ap.add_argument("--unroll-iterate", type=int, nargs="?", const=0,
@@ -354,7 +360,9 @@ def main(argv=None) -> int:
 
         t0 = time.perf_counter()
         if args.mesh:
-            from ..parallel.mesh import run_sharded
+            from ..parallel.mesh import run_sharded, set_link_model
+            if args.link_model:
+                set_link_model(args.link_model)
             sizes, names, links = _parse_mesh(args.mesh)
             spe = _parse_cadence(args.sweeps_per_exchange, names)
             outs = run_sharded(program, ins, ps, axis_sizes=sizes,

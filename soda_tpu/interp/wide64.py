@@ -563,6 +563,28 @@ _EXP_COEF = [1.0 / 479001600.0, 1.0 / 39916800.0, 1.0 / 3628800.0,
              1.0 / 120.0, 1.0 / 24.0, 1.0 / 6.0, 0.5, 1.0]  # 1/12! .. 1/1!
 
 
+def _exp2_int(xp, n):
+    """EXACT 2^n (f32) for integer-valued f32 n — built from the exponent
+    bit field.  XLA lowers exp2 as exp(n·ln2), which is NOT exact
+    (jnp.exp2(13) returned 8192.004 on XLA:CPU — found by the DS exp
+    accuracy test); exact powers of two are load-bearing for the DS
+    argument reductions.  n is half-split so each factor's exponent stays
+    in [-63, 64] and the product covers the full [-126, 128] range."""
+    n1 = xp.floor(n * np.float32(0.5))
+    n2 = n - n1
+
+    def one(m):
+        bits = ((m.astype(np.int32) + np.int32(127))
+                << np.int32(23)).astype(np.int32)
+        if xp is np:
+            return bits.view(np.float32)
+        import jax
+
+        return jax.lax.bitcast_convert_type(bits, np.float32)
+
+    return one(n1), one(n2)
+
+
 def _ds_exp(a: W) -> W:
     """exp in double-single: n = round(x/ln2); r = x - n*ln2 (three-part
     split, |r| <= ln2/2); degree-12 DS Taylor; scale by exact 2^n."""
@@ -575,9 +597,9 @@ def _ds_exp(a: W) -> W:
     for c in _EXP_COEF[1:]:
         acc = _ds_add(_ds_mul(acc, r), W.ds_from_float(c, xp))
     acc = _ds_add(_ds_mul(acc, r), W.ds_from_float(1.0, xp))
-    s = xp.exp2(n)  # exact power of two in f32 for |n| <= 127
-    hi = acc.a * s
-    lo = acc.b * s
+    s1, s2 = _exp2_int(xp, n)  # exact powers of two (see _exp2_int)
+    hi = (acc.a * s1) * s2
+    lo = (acc.b * s1) * s2
     x0 = a.a
     inf = xp.asarray(np.float32(np.inf))
     zero = xp.zeros_like(hi)
@@ -596,12 +618,22 @@ def _ds_log(a: W) -> W:
     xp = a.xp
     hi0 = a.a
     e = xp.floor(xp.log2(hi0))  # NaN for hi<0 (propagates), -inf for 0
-    s = xp.exp2(-e)
-    m = hi0 * s  # exact scaling: m in [1, 2) up to log2 rounding
-    adj = m >= np.float32(1.4142135)
-    e = xp.where(adj, e + np.float32(1.0), e)
-    s = xp.where(adj, s * np.float32(0.5), s)
-    y = W("d", hi0 * s, a.b * s, xp)
+    # exact 2^-e scaling (XLA's exp2 is exp(x·ln2) — inexact); log2's own
+    # rounding can put m one octave off near powers of two, so nudge e
+    # until m lands in [sqrt(1/2), sqrt(2)) — the series domain
+    e = xp.where(xp.isfinite(e), e, xp.zeros_like(e))
+
+    def scaled(e_):
+        s1, s2 = _exp2_int(xp, -e_)
+        return (hi0 * s1) * s2, s1, s2
+
+    m, s1, s2 = scaled(e)
+    adj_up = m >= np.float32(1.4142135)
+    e = xp.where(adj_up, e + np.float32(1.0), e)
+    adj_dn = m < np.float32(0.70710677)
+    e = xp.where(adj_dn, e - np.float32(1.0), e)
+    m, s1, s2 = scaled(e)
+    y = W("d", m, (a.b * s1) * s2, xp)
     one = W.ds_from_float(1.0, xp)
     t = _ds_div(_ds_add(y, _ds_neg(one)), _ds_add(y, one))
     t2 = _ds_mul(t, t)
@@ -614,10 +646,98 @@ def _ds_log(a: W) -> W:
     res = _ds_add(lg, W("d", e * _LN2_HI, xp.zeros_like(e), xp))
     res = _ds_add(res, _ds_mul(W("d", e, xp.zeros_like(e), xp),
                                W("d", _LN2_LO, _LN2_LO2, xp)))
+    # specials (the e-clamp above suppressed log2's own inf/NaN): 0 ->
+    # -inf, negative/NaN -> NaN, +inf -> +inf — IEEE log semantics
     zero_in = hi0 == 0.0
+    bad = ~(hi0 >= 0.0)  # negative or NaN
+    pinf = hi0 == np.float32(np.inf)
     ninf = xp.asarray(np.float32(-np.inf))
-    return W("d", xp.where(zero_in, ninf, res.a),
-             xp.where(zero_in, xp.zeros_like(res.b), res.b), xp)
+    nan = xp.asarray(np.float32(np.nan))
+    hi = xp.where(zero_in, ninf, res.a)
+    hi = xp.where(bad, nan, hi)
+    hi = xp.where(pinf, -ninf, hi)
+    lo = xp.where(zero_in | bad | pinf, xp.zeros_like(res.b), res.b)
+    return W("d", hi, lo, xp)
+
+
+def _mant_split(v: float, bits: int) -> np.float32:
+    """f32 keeping only the top `bits` mantissa bits of v (so n*const is
+    exact for |n| up to 2^(24-bits))."""
+    f = np.float32(v)
+    u = np.frombuffer(np.float32(f).tobytes(), np.uint32)[0]
+    mask = np.uint32((0xFFFFFFFF << (23 - bits)) & 0xFFFFFFFF)
+    return np.frombuffer(np.uint32(u & mask).tobytes(), np.float32)[0]
+
+
+_PIO2 = float(np.pi) / 2.0
+_PIO2_HI = _mant_split(_PIO2, 12)                       # 12-bit mantissa
+_PIO2_MI = _mant_split(_PIO2 - float(_PIO2_HI), 12)
+_PIO2_LO = np.float32(_PIO2 - float(_PIO2_HI) - float(_PIO2_MI))
+_INV_PIO2 = np.float32(2.0 / np.pi)
+# Taylor coefficients on |r| <= pi/4: sin to r^15, cos to r^16
+_SIN_COEF = [-1.0 / 1307674368000.0, 1.0 / 6227020800.0,
+             -1.0 / 39916800.0, 1.0 / 362880.0, -1.0 / 5040.0,
+             1.0 / 120.0, -1.0 / 6.0]
+_COS_COEF = [1.0 / 20922789888000.0, -1.0 / 87178291200.0,
+             1.0 / 479001600.0, -1.0 / 3628800.0, 1.0 / 40320.0,
+             -1.0 / 720.0, 1.0 / 24.0, -0.5]
+
+
+def _ds_sincos(a: W) -> tuple[W, W]:
+    """(sin, cos) in double-single: n = round(x·2/π), r = x − n·π/2
+    (three-part split, exact for |n| <= 2^11), DS Taylor on [-π/4, π/4],
+    quadrant selection by n mod 4.  |x| beyond ~3200 falls back to f32
+    accuracy (large-argument reduction needs Payne–Hanek; documented)."""
+    xp = a.xp
+    n = xp.round(a.a * _INV_PIO2)
+    r = _ds_add(a, W("d", -n * _PIO2_HI, -n * _PIO2_MI, xp))
+    r = _ds_add(r, _ds_mul(W("d", n, xp.zeros_like(n), xp),
+                           W("d", -_PIO2_LO, xp.zeros_like(n), xp)))
+    r2 = _ds_mul(r, r)
+    s_acc = W.ds_from_float(_SIN_COEF[0], xp)
+    for c in _SIN_COEF[1:]:
+        s_acc = _ds_add(_ds_mul(s_acc, r2), W.ds_from_float(c, xp))
+    # sin(r) = r + r³·(poly) = r·(1 + r²·poly)
+    s = _ds_mul(r, _ds_add(_ds_mul(s_acc, r2), W.ds_from_float(1.0, xp)))
+    c_acc = W.ds_from_float(_COS_COEF[0], xp)
+    for c in _COS_COEF[1:]:
+        c_acc = _ds_add(_ds_mul(c_acc, r2), W.ds_from_float(c, xp))
+    c_ = _ds_add(_ds_mul(c_acc, r2), W.ds_from_float(1.0, xp))
+    # quadrant k = n mod 4 (f32 integer arithmetic is exact here)
+    k = n - 4.0 * xp.floor(n * 0.25)
+
+    def sel(k0, v_sin, v_cos):
+        hi = xp.where(k0 == 0, v_sin.a, xp.where(k0 == 1, v_cos.a,
+                      xp.where(k0 == 2, -v_sin.a, -v_cos.a)))
+        lo = xp.where(k0 == 0, v_sin.b, xp.where(k0 == 1, v_cos.b,
+                      xp.where(k0 == 2, -v_sin.b, -v_cos.b)))
+        return W("d", hi, lo, xp)
+
+    sin_v = sel(k, s, c_)
+    # cos(x) = sin(x + π/2): shift quadrant by one
+    k2 = k + 1.0 - 4.0 * xp.floor((k + 1.0) * 0.25)
+    cos_v = sel(k2, s, c_)
+    # fallback beyond the exact-reduction range: f32 accuracy
+    big = xp.abs(a.a) > np.float32(3000.0)
+    x32 = a.a + a.b
+    sin_v = W("d", xp.where(big, xp.sin(x32), sin_v.a),
+              xp.where(big, xp.zeros_like(sin_v.b), sin_v.b), xp)
+    cos_v = W("d", xp.where(big, xp.cos(x32), cos_v.a),
+              xp.where(big, xp.zeros_like(cos_v.b), cos_v.b), xp)
+    return sin_v, cos_v
+
+
+def _ds_tanh(a: W) -> W:
+    """tanh via DS exp: (e^{2x} − 1)/(e^{2x} + 1); saturates to ±1 for
+    |x| > 20 (e^{2x} overflows f32 range there)."""
+    xp = a.xp
+    two_x = _ds_add(a, a)
+    t = _ds_exp(two_x)
+    one = W.ds_from_float(1.0, xp)
+    v = _ds_div(_ds_add(t, _ds_neg(one)), _ds_add(t, one))
+    big = a.a > np.float32(20.0)
+    return W("d", xp.where(big, xp.ones_like(v.a), v.a),
+             xp.where(big, xp.zeros_like(v.b), v.b), xp)
 
 
 def _ds_lt(a: W, b: W):
@@ -929,6 +1049,27 @@ class WideXP:
                       - np.float64(inv_hi)))
             return _ds_mul(_ds_log(a), W("d", inv_hi, inv_lo, self.base))
         return self._plain_fn("log2", a)
+
+    def sin(self, a):
+        if isinstance(a, W) and a.rep == "d":
+            return _ds_sincos(a)[0]
+        return self._plain_fn("sin", a)
+
+    def cos(self, a):
+        if isinstance(a, W) and a.rep == "d":
+            return _ds_sincos(a)[1]
+        return self._plain_fn("cos", a)
+
+    def tan(self, a):
+        if isinstance(a, W) and a.rep == "d":
+            s, c = _ds_sincos(a)
+            return _ds_div(s, c)
+        return self._plain_fn("tan", a)
+
+    def tanh(self, a):
+        if isinstance(a, W) and a.rep == "d":
+            return _ds_tanh(a)
+        return self._plain_fn("tanh", a)
 
     def power(self, a, b):
         if a.rep == "d" or (isinstance(b, W) and b.rep == "d"):

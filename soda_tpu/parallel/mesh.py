@@ -95,11 +95,35 @@ def halo_exchange(x: jax.Array, dim: int, lo: int, hi: int,
 # environment cannot measure them (one chip, timing-emulated — BASELINE.md):
 # ICI uses the public v5e neighbor-link order of magnitude; DCN is the
 # cross-slice share per chip typical of multi-slice pods.  On a real pod,
-# replace with measured numbers — only the RATIO drives cadence choice.
+# CALIBRATE with measured numbers — only the RATIO drives cadence choice:
+# `sodac --link-model 'ici=90:2e-6,dcn=6.25:1e-4'`, the
+# SODA_LINK_MODEL env var (same syntax), or set_link_model() from Python.
 LINK_MODEL = {
     "ici": (90.0, 2e-6),
     "dcn": (6.25, 100e-6),
 }
+
+
+def set_link_model(spec: str) -> None:
+    """Override link constants from 'class=GB/s:latency_s[,...]', e.g.
+    'ici=95:1.5e-6,dcn=4:2e-4' — the calibration hook for real pods."""
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        try:
+            name, val = part.split("=", 1)
+            bw, lat = val.split(":", 1)
+            LINK_MODEL[name.strip()] = (float(bw), float(lat))
+        except ValueError as e:
+            raise ValueError(
+                f"bad --link-model entry {part!r}: expected "
+                f"class=GBps:latency_s (e.g. ici=90:2e-6)") from e
+
+
+_env_spec = __import__("os").environ.get("SODA_LINK_MODEL")
+if _env_spec:
+    set_link_model(_env_spec)
 
 
 def _divisors(n: int) -> list[int]:

@@ -500,3 +500,30 @@ def test_uneven_grid_smaller_than_mesh():
     got = run_sharded(p, {"t0": x}, axis_sizes=[8], sweeps_per_exchange=1)
     assert got["t1"].shape == (5, 128)
     assert np.array_equal(got["t1"], gold["t1"])
+
+
+def test_link_model_calibration_hook():
+    """--link-model / set_link_model recalibrates the constants that
+    drive auto cadence choice: an extremely slow DCN pushes the chosen
+    cadence deeper (fewer, larger exchanges)."""
+    from soda_tpu.parallel.mesh import (LINK_MODEL, choose_exchange_cadence,
+                                        make_mesh, set_link_model)
+
+    p = parse_file(SODA / "jacobi2d.soda")  # iterate 8
+    mesh = make_mesh([2, 4], ["dcn", "x"])
+    links = {"dcn": "dcn", "x": "ici"}
+    saved = dict(LINK_MODEL)
+    try:
+        set_link_model("dcn=6.25:1e-4")
+        cad_fast = choose_exchange_cadence(
+            p, (256, 2048), mesh, [0, 1], 8, links)
+        set_link_model("dcn=0.01:0.5")  # pathologically slow cross-slice
+        cad_slow = choose_exchange_cadence(
+            p, (256, 2048), mesh, [0, 1], 8, links)
+        assert cad_slow["dcn"] >= cad_fast["dcn"]
+        assert cad_slow["dcn"] == 8  # exchange once: latency dominates
+    finally:
+        LINK_MODEL.update(saved)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="link-model"):
+        set_link_model("garbage")

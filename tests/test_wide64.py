@@ -519,3 +519,45 @@ def test_ds_inf_nan_semantics():
     m = np.array([2.0, np.nan, np.nan])
     assert np.isnan(out(xp.minimum(ds(n), ds(m)))).all()
     assert np.isnan(out(xp.maximum(ds(n), ds(m)))).all()
+
+
+def test_ds_trig_accuracy():
+    """sin/cos/tan/tanh are DS-accurate (three-part π/2 reduction + DS
+    Taylor; tanh via DS exp): ~1e-10 vs the f64 oracle in the exact-
+    reduction range; |x| beyond ~3200 falls back to f32 accuracy
+    (Payne–Hanek reduction is out of scope — documented)."""
+    xp = WideXP(np)
+
+    def ds(v):
+        lo, hi = split_planes(np.asarray(v, np.float64))
+        return W("d", hi, lo, np)
+
+    def err(w, want):
+        got = merge_planes(w.b, w.a, np.float64)
+        return np.max(np.abs(got - want) / np.maximum(np.abs(want), 1e-3))
+
+    r = np.random.default_rng(12)
+    x = r.uniform(-100, 100, 20000)
+    assert err(xp.sin(ds(x)), np.sin(x)) < 1e-9
+    assert err(xp.cos(ds(x)), np.cos(x)) < 1e-9
+    xt = r.uniform(-1.5, 1.5, 20000)
+    assert err(xp.tan(ds(xt)), np.tan(xt)) < 1e-10
+    xh = r.uniform(-15, 15, 20000)
+    assert err(xp.tanh(ds(xh)), np.tanh(xh)) < 1e-10
+    assert np.array_equal(
+        merge_planes(xp.tanh(ds(np.array([25.0, -25.0]))).b,
+                     xp.tanh(ds(np.array([25.0, -25.0]))).a, np.float64),
+        np.array([1.0, -1.0]))
+
+
+def test_ds_trig_through_pallas():
+    """A double stencil with sin/cos matches the f64 oracle to 1e-9
+    through the Pallas path."""
+    src = ("kernel: ptrig\ninput double: a(128, *)\n"
+           "output double: out(0,0) = sin(a(0,0)) * cos(a(0,1))"
+           " + tanh(a(-1,0) + a(1,0))\n")
+    p = parse(src)
+    x = rng.standard_normal((48, 128)) * 3.0
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = pb.run(p, {"a": x}, interpret=True)["out"]
+    assert np.abs(gold - got).max() < 1e-9
