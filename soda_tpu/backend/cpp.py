@@ -45,8 +45,17 @@ static inline int64_t mask_int(int64_t v, int width, bool is_signed) {
   }
   return int64_t(u);
 }
-static inline int64_t c_div(int64_t a, int64_t b) { return a / b; }  // C trunc
-static inline int64_t c_mod(int64_t a, int64_t b) { return a % b; }
+// 128-bit carrier variants (gcc native __int128 — quad-limb DSL widths)
+static inline __int128 mask_int128(__int128 v, int width, bool is_signed) {
+  if (width >= 128) return v;
+  unsigned __int128 m = (((unsigned __int128)1) << width) - 1;
+  unsigned __int128 u = (unsigned __int128)v & m;
+  if (is_signed && ((u >> (width - 1)) & 1)) u |= ~m;
+  return (__int128)u;
+}
+template <typename T> static inline T c_div(T a, T b) { return a / b; }  // C trunc
+template <typename T> static inline T c_mod(T a, T b) { return a % b; }
+template <typename T> static inline T c_abs(T a) { return a < 0 ? T(-a) : a; }
 """
 
 
@@ -63,8 +72,13 @@ class _Gen:
     interp/evaluator.py semantics operation for operation."""
 
     def __init__(self, program: StencilProgram, idx_vars: list[str]):
+        from ..interp.wide128 import program_is_128
+
         self.p = program
         self.idx = idx_vars
+        # >64-bit programs carry ALL ints in gcc __int128 (matching the
+        # evaluator's int_width=128 wide-accumulator semantics)
+        self.acc128 = program_is_128(program)
 
     def ctype(self, t: ScalarType) -> str:
         if t.is_float:
@@ -72,21 +86,40 @@ class _Gen:
             # (both compute via f32 and round back), keeping the oracle
             # chain bit-exact for `half` programs
             return {16: "_Float16", 64: "double"}.get(t.width, "float")
+        if self.acc128:
+            # full-width unsigned rides unsigned (matches acc_of at 128)
+            return ("unsigned __int128"
+                    if t.kind == "uint" and t.width >= 128 else "__int128")
         # full-width unsigned rides an unsigned carrier so value-dependent
         # ops (/ % < >>) see true values (matches evaluator.acc_of)
         return "uint64_t" if t.kind == "uint" and t.width >= 64 else "int64_t"
+
+    def int_literal(self, v: int) -> str:
+        if not self.acc128:
+            return f"int64_t({v})"
+        if -(2 ** 63) <= v < 2 ** 63:
+            return f"(__int128)INT64_C({v})"
+        u = v & ((1 << 128) - 1)
+        hi, lo = u >> 64, u & ((1 << 64) - 1)
+        return (f"((__int128)(((unsigned __int128){hi}ULL << 64) "
+                f"| {lo}ULL))")
 
     def cast_to(self, code: str, src: ScalarType, dst: ScalarType) -> str:
         if dst.is_float:
             return f"({self.ctype(dst)})({code})"
         if src.is_float:
-            # route through int64 then reinterpret: float->unsigned of a
-            # negative value is UB in C++, while float->int64 + two's-
-            # complement wrap is defined for |v| < 2^63 and matches the
-            # oracle's conversion (values beyond +/-2^63 are out of the
-            # DSL's contract)
-            code = f"(int64_t)std::trunc({code})"
-        return (f"({self.ctype(dst)})mask_int({code}, {dst.width}, "
+            if self.acc128:
+                # double -> __int128 is defined for in-range values and
+                # matches the oracle's f64-precision conversion
+                code = f"(__int128)std::trunc({code})"
+            else:
+                # route through int64 then reinterpret: float->unsigned of
+                # a negative value is UB in C++, while float->int64 +
+                # two's-complement wrap is defined for |v| < 2^63 and
+                # matches the oracle's conversion
+                code = f"(int64_t)std::trunc({code})"
+        mask_fn = "mask_int128" if self.acc128 else "mask_int"
+        return (f"({self.ctype(dst)}){mask_fn}({code}, {dst.width}, "
                 f"{str(dst.kind == 'int').lower()})")
 
     def tap(self, name: str, off: tuple[int, ...]) -> tuple[str, ScalarType]:
@@ -114,7 +147,7 @@ class _Gen:
             if isinstance(e.value, float):
                 t = e.type or F32
                 return _cpp_float(e.value, t.width), t
-            return f"int64_t({e.value})", e.type or I32
+            return self.int_literal(e.value), e.type or I32
         if isinstance(e, ir.Ref):
             return self.tap(e.name, e.offsets)
         if isinstance(e, ir.ParamRef):
@@ -138,7 +171,8 @@ class _Gen:
         if isinstance(e, ir.UnOp):
             c, t = self.emit(e.operand)
             if e.op == "!":
-                return f"(int64_t)(!({c}))", I32
+                acc = "__int128" if self.acc128 else "int64_t"
+                return f"({acc})(!({c}))", I32
             if e.op == "~":
                 return f"(~({c}))", t
             return f"({e.op}({c}))", t
@@ -154,22 +188,24 @@ class _Gen:
             ac, at = self.emit(e.lhs)
             bc, bt = self.emit(e.rhs)
             op = e.op
+            acc_c = "__int128" if self.acc128 else "int64_t"
             if op in ("&&", "||"):
-                return f"(int64_t)(({ac}) != 0 {op} ({bc}) != 0)", I32
+                return f"({acc_c})(({ac}) != 0 {op} ({bc}) != 0)", I32
             if op in ("==", "!=", "<", ">", "<=", ">="):
                 t = promote(at, bt)
-                return f"(int64_t)(({self._coerce(ac, at, t)}) {op} ({self._coerce(bc, bt, t)}))", I32
+                return f"({acc_c})(({self._coerce(ac, at, t)}) {op} ({self._coerce(bc, bt, t)}))", I32
             if op in ("<<", ">>"):
                 return f"(({ac}) {op} ({bc}))", at
             t = promote(at, bt)
             ac = self._coerce(ac, at, t)
             bc = self._coerce(bc, bt, t)
+            uw = 128 if self.acc128 else 64
             if op == "/" and t.is_int:
-                if t.kind == "uint" and t.width >= 64:
+                if t.kind == "uint" and t.width >= uw:
                     return f"(({ac}) / ({bc}))", t  # unsigned / is already trunc
                 return f"c_div({ac}, {bc})", t
             if op == "%" and t.is_int:
-                if t.kind == "uint" and t.width >= 64:
+                if t.kind == "uint" and t.width >= uw:
                     return f"(({ac}) % ({bc}))", t
                 return f"c_mod({ac}, {bc})", t
             if op == "%":
@@ -200,6 +236,8 @@ class _Gen:
                 c, t = args[0]
                 if t.is_int and t.kind == "uint" and t.width >= 64:
                     return c, t  # abs of unsigned is the identity
+                if t.is_int and self.acc128:
+                    return f"c_abs({c})", t  # std::abs lacks __int128
                 return (f"std::abs({c})", t)
             if e.fn == "pow":
                 t = pr(pr(args[0][1], args[1][1]), F32)
@@ -435,15 +473,26 @@ def compile_and_run(
     exe = tmp / "golden"
     subprocess.run(["g++", "-O2", "-std=c++17", "-o", str(exe), str(cpp)],
                    check=True, capture_output=True)
+    def _tofile(arr, t: ScalarType, f: pathlib.Path):
+        if t.np_dtype() == np.dtype(object):
+            # >64-bit ints: 16-byte little-endian per element (matches
+            # sizeof(unsigned __int128) layout on x86)
+            a = np.asarray(arr, dtype=object).reshape(-1)
+            f.write_bytes(b"".join(
+                (int(v) & ((1 << 128) - 1)).to_bytes(16, "little")
+                for v in a))
+            return
+        np.ascontiguousarray(np.asarray(arr, dtype=t.np_dtype())).tofile(f)
+
     args = [str(exe)]
     for n in program.input_names:
         t = program.tensors[n].type
         f = tmp / f"in_{n}.bin"
-        np.ascontiguousarray(np.asarray(inputs[n], dtype=t.np_dtype())).tofile(f)
+        _tofile(inputs[n], t, f)
         args.append(str(f))
     for p in program.params.values():
         f = tmp / f"par_{p.name}.bin"
-        np.ascontiguousarray(np.asarray(params[p.name], dtype=p.type.np_dtype())).tofile(f)
+        _tofile(params[p.name], p.type, f)
         args.append(str(f))
     out_files = {}
     for n in program.output_names:
@@ -454,5 +503,14 @@ def compile_and_run(
     res = {}
     for n, f in out_files.items():
         t = program.tensors[n].type
-        res[n] = np.fromfile(f, dtype=t.np_dtype()).reshape(grid_shape)
+        if t.np_dtype() == np.dtype(object):
+            raw = f.read_bytes()
+            vals = [int.from_bytes(raw[i * 16:(i + 1) * 16], "little")
+                    for i in range(len(raw) // 16)]
+            if t.is_signed:
+                vals = [v - (1 << 128) if v >= (1 << 127) else v
+                        for v in vals]
+            res[n] = np.array(vals, dtype=object).reshape(grid_shape)
+        else:
+            res[n] = np.fromfile(f, dtype=t.np_dtype()).reshape(grid_shape)
     return res

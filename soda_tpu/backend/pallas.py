@@ -1176,10 +1176,24 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
 
 
 def check_tpu_supported(program: StencilProgram) -> None:
-    """Round 2: nothing left to reject — USER-declared 64-bit tensors AND
-    params run in-kernel via paired-32-bit carriers (interp/wide64.py —
-    exact s64/u64 incl. long division, ~1e-13 double-single f64).  Kept
-    as the documented extension point for future loud rejections."""
+    """USER-declared 64-bit tensors AND params run in-kernel via
+    paired-32-bit carriers (interp/wide64.py — exact s64/u64 incl. long
+    division, ~1e-13 double-single f64).  Integers ABOVE 64 bits run on
+    the NumPy-oracle and XLA backends as quad-limb carriers
+    (interp/wide128.py); the Pallas kernel path would need 4-plane
+    carriers — rejected loudly here."""
+    from ..interp.wide128 import program_is_128
+
+    if program_is_128(program):
+        wide = [f"{n}:{t.type}" for n, t in program.tensors.items()
+                if t.type.is_int and t.type.width > 64]
+        wide += [f"{p.name}:{p.type}" for p in program.params.values()
+                 if p.type.is_int and p.type.width > 64]
+        raise NotImplementedError(
+            f"program {program.name!r} uses >64-bit integers "
+            f"({', '.join(wide)}): the Pallas kernel path supports up to "
+            f"64-bit pair carriers; run with `--backend xla` (quad-limb "
+            f"carriers, exact) or the NumPy oracle")
 
 
 def finalize_outputs(program: StencilProgram, outs) -> dict:

@@ -24,8 +24,9 @@ from ..interp.evaluator import EvalContext, eval_expr, store_cast
 def shifted_jnp(a: jax.Array, offsets: tuple[int, ...]) -> jax.Array:
     """out[i] = a[i + off], zero fill out of bounds (static shapes)."""
     from ..interp.wide64 import W
+    from ..interp.wide128 import V
 
-    if isinstance(a, W):  # 64-bit pair carrier: shift each plane
+    if isinstance(a, (W, V)):  # limb carriers: shift each plane/limb
         return a.map(lambda p: shifted_jnp(p, offsets))
     pads = [(max(-off, 0), max(off, 0)) for off in offsets]
     ap = jnp.pad(a, pads)
@@ -67,9 +68,15 @@ def _compute_dtype(program: StencilProgram, name: str, wide: bool = False):
 def _sweep(program: StencilProgram, arrays: dict, params: dict,
            int_width: int = 32) -> dict:
     """One sweep over full grids; returns updated tensor dict."""
+    if int_width == 128:
+        from ..interp.wide128 import Wide128XP
+
+        xp = Wide128XP(jnp)
+    else:
+        xp = jnp
     ctx = EvalContext(
         program=program,
-        xp=jnp,
+        xp=xp,
         tap=lambda name, off: shifted_jnp(arrays[name], off),
         params=params,
         int_width=int_width,
@@ -90,12 +97,15 @@ def build_fn(program: StencilProgram, iterate: int | None = None):
     precision); requires jax x64 — run() wraps the call in
     jax.enable_x64(True).  The caller converts to declared
     storage dtypes if needed (run() does this)."""
+    from ..interp.wide128 import V, program_is_128
+
     it = program.iterate if iterate is None else iterate
     it = max(it, 1)
     in_name = program.input_names[0]
     out_name = program.output_names[0]
+    w128 = program_is_128(program)
     wide = _needs_wide(program)
-    int_width = 64 if wide else 32
+    int_width = 128 if w128 else (64 if wide else 32)
 
     def fn(inputs: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
         if wide and not jax.config.jax_enable_x64:
@@ -103,9 +113,16 @@ def build_fn(program: StencilProgram, iterate: int | None = None):
                 f"program {program.name!r} uses >32-bit types: run under "
                 "jax.enable_x64(True) (xla.run does this "
                 "automatically)")
-        arrays = {n: jnp.asarray(inputs[n], _compute_dtype(program, n, wide))
-                  for n in program.input_names}
-        params_c = {k: jnp.asarray(v) for k, v in params.items()}
+        arrays = {}
+        for n in program.input_names:
+            v = inputs[n]
+            if isinstance(v, V):
+                arrays[n] = v  # quad-limb carriers arrive pre-wrapped
+            else:
+                arrays[n] = jnp.asarray(
+                    v, _compute_dtype(program, n, wide))
+        params_c = {k: (v if isinstance(v, V) else jnp.asarray(v))
+                    for k, v in params.items()}
 
         if it == 1:
             arrays = _sweep(program, arrays, params_c, int_width)
@@ -142,6 +159,35 @@ def run(
     fn = build_fn(program, iterate)
     if jit:
         fn = jax.jit(fn)
+
+    from ..interp import wide128
+
+    if wide128.program_is_128(program):
+        # >64-bit ints: host boundary converts object arrays of Python
+        # ints to quad-limb V carriers (a pytree — jits fine) and back;
+        # floats still ride x64 for f64
+        def _to_v(v, t):
+            if t.is_int and t.width > 64 and not isinstance(v, wide128.V):
+                return wide128._object_to_limbs(
+                    np.asarray(v, dtype=object),
+                    "i" if t.is_signed else "u", jnp)
+            return v
+
+        ins_v = {n: _to_v(inputs[n], program.tensors[n].type)
+                 for n in program.input_names}
+        par_v = {n: _to_v((params or {})[n], program.params[n].type)
+                 for n in (params or {})}
+        with jax.enable_x64(True):
+            outs = fn(ins_v, par_v)
+        res = {}
+        for n, v in outs.items():
+            t = program.tensors[n].type
+            if isinstance(v, wide128.V):
+                res[n] = (wide128.to_object_array(v, t.is_signed)
+                          if v.rep != "p" else np.asarray(v.l))
+            else:
+                res[n] = np.asarray(v)
+        return finalize_outputs(program, res)
     if _needs_wide(program):
         # 64-bit programs: exact int64 (XLA-emulated s64 on TPU) and
         # emulated float64; scoped so the global default dtypes stay 32-bit

@@ -45,6 +45,9 @@ class EvalContext:
     tpu_wide: bool = False
 
     def int_dtype(self, signed: bool = True):
+        if self.int_width == 128:
+            # quad-limb carriers (interp/wide128.Wide128XP namespace)
+            return self.xp.int128 if signed else self.xp.uint128
         if self.int_width == 64:
             return self.xp.int64 if signed else self.xp.uint64
         return self.xp.int32 if signed else self.xp.uint32
@@ -376,6 +379,15 @@ def store_cast(ctx: EvalContext, v, vt: ScalarType, t: ScalarType, storage=True)
 
 def _storage_dtype(ctx: EvalContext, t: ScalarType):
     xp = ctx.xp
+    if ctx.int_width == 128:
+        # quad-limb path: >64-bit ints stay limb vectors; narrower types
+        # and floats use native numpy dtypes
+        if t.is_int and t.width > 64:
+            return ctx.acc_of(t)
+        if t.is_float:
+            return {16: xp.float16, 32: xp.float32,
+                    64: xp.float64}[t.width]
+        return t.np_dtype()
     if ctx.int_width == 32:
         # TPU path computes uniformly in int32 (masking at stores preserves
         # semantics for widths <= 16; full-range uint32 is documented as

@@ -58,6 +58,38 @@ def run_once(
         arrays[name] = np.asarray(store_cast(ctx, v, vt, t.type))
 
 
+def run_once_128(
+    program: StencilProgram,
+    arrays: dict,
+    params: Mapping,
+) -> None:
+    """One sweep of a >64-bit program: the SAME evaluator walk with the
+    quad-limb namespace (interp/wide128.Wide128XP) at int_width=128 —
+    values flow as V limb vectors (ints >64) or plain numpy arrays."""
+    from . import wide128
+
+    def tap(name, off):
+        v = arrays[name]
+        if isinstance(v, wide128.V):
+            return v.map(lambda p: shifted(p, off))
+        return shifted(v, off)
+
+    ctx = EvalContext(
+        program=program,
+        xp=wide128.Wide128XP(np),
+        tap=tap,
+        params=dict(params),
+        int_width=128,
+    )
+    for name in program.stage_order():
+        t = program.tensors[name]
+        v, vt = eval_expr(t.expr, ctx)
+        s = store_cast(ctx, v, vt, t.type)
+        if isinstance(s, wide128.V) and s.rep == "p":
+            s = np.asarray(s.l)
+        arrays[name] = s
+
+
 def run(
     program: StencilProgram,
     inputs: Mapping[str, np.ndarray],
@@ -69,27 +101,52 @@ def run(
     Returns {output_name: array}.  For iterate>1 the single output feeds
     back into the single input each sweep (reference `iterate` semantics:
     the stage pipeline is chained N times, SURVEY.md §3(d))."""
+    from . import wide128
+
     it = program.iterate if iterate is None else iterate
     params = dict(params or {})
-    arrays: dict[str, np.ndarray] = {}
+    w128 = wide128.program_is_128(program)
+    arrays: dict = {}
     for n in program.input_names:
         t = program.tensors[n]
         a = np.asarray(inputs[n], dtype=t.type.np_dtype())
         if a.ndim != program.rank:
             raise ValueError(f"input {n!r} rank {a.ndim} != program rank {program.rank}")
+        if w128 and t.type.is_int and t.type.width > 64:
+            # >64-bit inputs: object arrays of Python ints -> limb vectors
+            a = wide128._object_to_limbs(
+                np.asarray(a, dtype=object),
+                "i" if t.type.is_signed else "u", np)
         arrays[n] = a
 
     for p in program.params.values():
         if p.name not in params:
             raise ValueError(f"missing param {p.name!r}")
-        params[p.name] = np.asarray(params[p.name], dtype=p.type.np_dtype())
-        if tuple(params[p.name].shape) != tuple(p.shape):
+        pv = np.asarray(params[p.name], dtype=p.type.np_dtype())
+        if tuple(pv.shape) != tuple(p.shape):
             raise ValueError(
-                f"param {p.name!r} shape {params[p.name].shape} != declared {p.shape}")
+                f"param {p.name!r} shape {pv.shape} != declared {p.shape}")
+        if w128 and p.type.is_int and p.type.width > 64:
+            pv = wide128._object_to_limbs(
+                np.asarray(pv, dtype=object),
+                "i" if p.type.is_signed else "u", np)
+        params[p.name] = pv
 
     for sweep in range(max(it, 1)):
-        run_once(program, arrays, params)
+        if w128:
+            run_once_128(program, arrays, params)
+        else:
+            run_once(program, arrays, params)
         if it > 1 and sweep + 1 < it:
             arrays[program.input_names[0]] = arrays[program.output_names[0]]
 
-    return {n: arrays[n] for n in program.output_names}
+    out = {}
+    for n in program.output_names:
+        v = arrays[n]
+        if isinstance(v, wide128.V):
+            t = program.tensors[n].type
+            out[n] = (wide128.to_object_array(v, t.is_signed)
+                      if v.rep != "p" else np.asarray(v.l))
+        else:
+            out[n] = v
+    return out

@@ -220,23 +220,26 @@ class V:
             return gt
         return ~gt  # le
 
+    # public comparisons wrap the bool array in a plain V (matching
+    # wide64.W, so evaluator idioms like `fix.astype(dtype)` work)
+
     def __lt__(self, other):
-        return self._cmp(other, "lt")
+        return V.plain(self._cmp(other, "lt"), self.xp)
 
     def __le__(self, other):
-        return self._cmp(other, "le")
+        return V.plain(self._cmp(other, "le"), self.xp)
 
     def __gt__(self, other):
-        return self._cmp(other, "gt")
+        return V.plain(self._cmp(other, "gt"), self.xp)
 
     def __ge__(self, other):
-        return self._cmp(other, "ge")
+        return V.plain(self._cmp(other, "ge"), self.xp)
 
     def __eq__(self, other):  # noqa: D105
-        return self._cmp(other, "eq")
+        return V.plain(self._cmp(other, "eq"), self.xp)
 
     def __ne__(self, other):  # noqa: D105
-        return self._cmp(other, "ne")
+        return V.plain(self._cmp(other, "ne"), self.xp)
 
     __hash__ = None
 
@@ -244,6 +247,22 @@ class V:
 def xp_base(xp):
     """The underlying array module (np or jnp) from a V.xp field."""
     return xp
+
+
+def _register_pytree() -> None:
+    """V as a JAX pytree node (like wide64.W): limb vectors cross jit /
+    scan carries on the XLA wide-int path."""
+    try:
+        from jax import tree_util as _jtu
+    except ImportError:
+        return
+    _jtu.register_pytree_node(
+        V,
+        lambda v: ((v.l,), (v.rep, v.xp)),
+        lambda aux, children: V(aux[0], children[0], aux[1]))
+
+
+_register_pytree()
 
 
 # ---- limb primitives -------------------------------------------------------
@@ -401,36 +420,57 @@ def _shift_dyn(a: V, s, left: bool) -> V:
 
 
 def _divmod_unsigned(a: V, b: V) -> tuple[V, V]:
-    """128-step restoring long division on unsigned limb vectors."""
+    """128-step restoring long division, MSB-shift form: every step uses
+    only STATIC limb indices (the dividend shifts left one bit per step
+    and its top bit feeds the remainder), so the jnp path runs a compact
+    fori_loop with a (acc, q, r) V-tuple carry instead of tracing 128
+    unrolled multi-limb steps."""
     xp = a.xp
     zero = a.l[0] * np.uint32(0)
-    q = V("u", tuple(zero for _ in range(NL)), xp)
-    r = V("u", tuple(zero for _ in range(NL)), xp)
+    q0 = V("u", tuple(zero for _ in range(NL)), xp)
+    r0 = V("u", tuple(zero for _ in range(NL)), xp)
+    acc0 = V("u", a.l, xp)
     bu = V("u", b.l, xp)
-    for i in range(127, -1, -1):
+
+    def step(carry):
+        acc, q, r = carry
+        bit = acc.l[NL - 1] >> np.uint32(31)
+        acc = _shl_const(acc, 1)
         r = _shl_const(r, 1)
-        bit = (a.l[i // 32] >> np.uint32(i % 32)) & np.uint32(1)
         r = V("u", (r.l[0] | bit,) + r.l[1:], xp)
         ge = ~_less(r, bu, signed=False)
         r = _select(xp, ge, _add(r, _neg(bu)), r)
-        qi = i // 32
-        q = V("u", tuple(
-            (x | (ge.astype(np.uint32) << np.uint32(i % 32)))
-            if k == qi else x
-            for k, x in enumerate(q.l)), xp)
+        q = _shl_const(q, 1)
+        q = V("u", (q.l[0] | ge.astype(np.uint32),) + q.l[1:], xp)
+        return acc, q, r
+
+    if xp is np:
+        carry = (acc0, q0, r0)
+        for _ in range(128):
+            carry = step(carry)
+        _, q, r = carry
+        return q, r
+    import jax
+
+    _, q, r = jax.lax.fori_loop(0, 128, lambda _, c: step(c),
+                                (acc0, q0, r0))
     return q, r
 
 
 def _floordiv(a: V, b: V) -> V:
-    """C truncating division (sign from operands; exact)."""
+    """FLOOR division (matches numpy floor_divide — the evaluator's
+    _c_div applies the trunc-toward-zero fix on top, exactly as on the
+    other integer paths)."""
     xp = a.xp
     if a.rep == "u":
         q, _ = _divmod_unsigned(a, b)
         return V("u", q.l, xp)
-    qa, _ = _divmod_unsigned(_abs(a), _abs(b))
+    q, r = _divmod_unsigned(_abs(a), _abs(b))
     neg = _is_neg(a) != _is_neg(b)
-    qn = _neg(V("i", qa.l, xp))
-    return _select(xp, neg, qn, V("i", qa.l, xp))
+    nz = r._cmp(V.from_int_scalar(0, "u", xp), "ne")
+    qs = _select(xp, neg, _neg(V("i", q.l, xp)), V("i", q.l, xp))
+    qfix = _add(qs, V.from_int_scalar(-1, "i", xp))
+    return V("i", _select(xp, neg & nz, qfix, qs).l, xp)
 
 
 def _limbs_to_float(a: V):

@@ -53,16 +53,20 @@ class ScalarType:
             raise ValueError(f"unknown type {s!r}")
         kind = "uint" if m.group(1) == "uint" else "int"
         width = int(m.group(2))
-        if not 1 <= width <= 64:
+        if not 1 <= width <= 128:
             # The reference's ap_[u]int<N> is arbitrary-width; this TPU
-            # rebuild supports 1..64 (1..32 native, 33..64 as exact
-            # paired-32-bit carriers — interp/wide64.py).  >64-bit would
-            # need 4-limb carriers; deviation recorded in PARITY.md.
+            # rebuild supports 1..128 (1..32 native, 33..64 as exact
+            # paired-32-bit carriers — interp/wide64.py, 65..128 as
+            # quad-limb carriers on the oracle/XLA paths —
+            # interp/wide128.py).  Wider would need more limbs; deviation
+            # recorded in PARITY.md.
             raise ValueError(
                 f"unsupported integer width {width} in {s!r}: this "
-                f"TPU backend supports int1..int64/uint1..uint64 "
-                f"(33..64-bit via exact 32-bit limb pairs); widths "
-                f"above 64 are not implemented (PARITY.md deviation)")
+                f"TPU backend supports int1..int128/uint1..uint128 "
+                f"(33..64-bit via exact 32-bit limb pairs everywhere; "
+                f"65..128-bit via quad-limb carriers on the NumPy/XLA "
+                f"backends); widths above 128 are not implemented "
+                f"(PARITY.md deviation)")
         return ScalarType(kind, width)
 
     # ---- properties -----------------------------------------------------
@@ -95,10 +99,15 @@ class ScalarType:
     # ---- numpy mapping ---------------------------------------------------
 
     def np_dtype(self) -> np.dtype:
-        """Storage dtype (what arrays of this type are held in)."""
+        """Storage dtype (what arrays of this type are held in).  >64-bit
+        ints have no native numpy dtype: they live in OBJECT arrays of
+        Python ints at the host boundary (exact; interp/wide128.py holds
+        them as quad-limb vectors in compute)."""
         if self.kind == "float":
             return np.dtype({16: np.float16, 32: np.float32, 64: np.float64}[self.width])
         w = self.storage_width
+        if w > 64:
+            return np.dtype(object)
         if self.kind == "uint":
             return np.dtype({8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}[w])
         return np.dtype({8: np.int8, 16: np.int16, 32: np.int32, 64: np.int64}[w])
@@ -139,14 +148,16 @@ class ScalarType:
             return 1
         if self.width <= 16:
             return 2
-        return 4 if self.width <= 32 else 8
+        if self.width <= 32:
+            return 4
+        return 8 if self.width <= 64 else 16
 
     @property
     def sublane_quantum(self) -> int:
         """Min sublane tile of the TPU storage dtype (8 for 32-bit,
         16 for 16-bit, 32 for 8-bit containers; 64-bit rides pairs of
         32-bit planes, each tiling at 8)."""
-        return {1: 32, 2: 16, 4: 8, 8: 8}[self.tpu_storage_bytes]
+        return {1: 32, 2: 16, 4: 8, 8: 8, 16: 8}[self.tpu_storage_bytes]
 
     # ---- C++ mapping (golden runner) --------------------------------------
 
@@ -157,6 +168,11 @@ class ScalarType:
         store rounds through f16 exactly like the oracle)."""
         if self.kind == "float":
             return {16: "_Float16", 32: "float", 64: "double"}[self.width]
+        if self.storage_width > 64:
+            # gcc's native 128-bit integers — the C++ golden runner keeps
+            # exact semantics for the quad-limb DSL widths
+            return ("unsigned __int128" if self.kind == "uint"
+                    else "__int128")
         return ("uint" if self.kind == "uint" else "int") + f"{self.storage_width}_t"
 
     def __str__(self) -> str:

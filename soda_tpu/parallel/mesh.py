@@ -248,6 +248,13 @@ def build_sharded_fn(
     # (exact s64/u64, double-single f64 — same as the Pallas wide mode).
     # Synthetic compiler-generated int64 partial sums in 32-bit programs
     # keep int32 local compute (documented).
+    from ..interp.wide128 import program_is_128
+
+    if program_is_128(program):
+        raise NotImplementedError(
+            f"program {program.name!r} uses >64-bit integers: the mesh "
+            "path shards up to 64-bit plane pairs; run single-chip with "
+            "`--backend xla` (quad-limb carriers)")
     # wide + pallas local compute traces since W pair carriers became a
     # pytree: the per-shard Pallas group fns consume/produce W directly
     wide = wide64.program_is_wide(program)

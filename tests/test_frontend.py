@@ -182,10 +182,14 @@ def test_multi_output_iterate_rejected():
         parse(src)
 
 
-def test_uint128_rejected_with_documented_message():
-    """Integer widths above 64 fail loudly, naming the supported surface
-    (reference ap_uint<N> is arbitrary-width — PARITY.md deviation)."""
-    src = ("kernel: w128\ninput uint128: a(64, *)\n"
-           "output uint128: b(0,0) = a(0,0) + a(0,1)\n")
-    with pytest.raises(ValueError, match="int1..int64.*PARITY"):
+def test_uint256_rejected_with_documented_message():
+    """Integer widths above 128 fail loudly, naming the supported surface
+    (reference ap_uint<N> is arbitrary-width — PARITY.md deviation).
+    uint65..uint128 PARSE and run on the oracle/XLA quad-limb paths
+    (tests/test_wide128.py)."""
+    src = ("kernel: w256\ninput uint256: a(64, *)\n"
+           "output uint256: b(0,0) = a(0,0) + a(0,1)\n")
+    with pytest.raises(ValueError, match="int1..int128.*PARITY"):
         parse(src)
+    p = parse(src.replace("uint256", "uint128"))  # 128 parses
+    assert p.tensors["a"].type.width == 128
