@@ -8,6 +8,8 @@ tolerance.  Not part of CI (takes minutes): run ad hoc after touching
 interp/wide64.py or the pair plumbing.
 
     python scripts/fuzz_wide.py [n_seeds] [--hw]
+    python scripts/fuzz_wide.py [n_seeds] --w128   # 65..128-bit quad-limb fuzz
+                                  # (oracle vs __int128 C++ vs XLA)
 
 --hw additionally compiles a subsample on the attached TPU.
 """
@@ -103,10 +105,105 @@ def gen(rng: random.Random) -> tuple[str, str, bool]:
     return "\n".join(lines) + "\n", base, low_mag
 
 
+def gen128(rng: random.Random) -> tuple[str, str]:
+    """Random 65..128-bit integer program (pure int ops: float round-trips
+    are excluded — C++ casts (float)__int128 round once while the
+    quad-limb path rounds via f64, a documented 1-ulp channel)."""
+    base = rng.choice(["int96", "uint128", "int128", "uint100"])
+    lines = [f"kernel: fq", f"input {base}: a(64, *)"]
+    prev = ["a"]
+
+    def off():
+        return f"{rng.randint(-2, 2)}, {rng.randint(-2, 2)}"
+
+    def term(src):
+        r = f"{src}({off()})"
+        k = rng.random()
+        if k < 0.12:
+            return f"{r} * {base}({rng.randint(1, 10**12)})"
+        if k < 0.22:
+            return f"max({r}, {src}({off()}))"
+        if k < 0.32:
+            return f"({r} >> {rng.randint(0, 100)})"
+        if k < 0.4:
+            return f"({r} >> ({src}({off()}) & {base}(31)))"
+        if k < 0.48:
+            return f"({r} > {base}(10) ? {r} : {src}({off()}))"
+        if k < 0.56:
+            return f"{r} / {base}({2 ** rng.randint(1, 40)})"
+        if k < 0.64:
+            return f"{r} % {base}({rng.randint(3, 10**9)})"
+        if k < 0.72:
+            return f"({r} & {base}({2 ** rng.randint(8, 100) - 1}))"
+        if k < 0.8:
+            return f"{base}(int64({r}))"  # narrow-and-widen cast chain
+        return r
+
+    n_stages = rng.randint(1, 2)
+    for s in range(n_stages):
+        src = rng.choice(prev)
+        expr = " + ".join(term(src) for _ in range(rng.randint(2, 3)))
+        name = f"s{s}" if s + 1 < n_stages else "out"
+        kind = "local" if s + 1 < n_stages else "output"
+        lines.append(f"{kind} {base}: {name}(0, 0) = {expr}")
+        prev.append(name)
+    if rng.random() < 0.3:
+        lines.insert(1, "iterate: 2")
+    return "\n".join(lines) + "\n", base
+
+
+def fuzz_128(n: int) -> int:
+    """oracle (quad-limb numpy) vs C++ (__int128) vs XLA (quad-limb jnp,
+    subsampled) — three independent implementations, bit-equal required."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from soda_tpu.backend import cpp as cpp_backend, xla as xb
+    from soda_tpu.frontend.parser import parse
+    from soda_tpu.interp import numpy_interp
+
+    failures = 0
+    for seed in range(n):
+        rng = random.Random(7_128_000 + seed)
+        src, base = gen128(rng)
+        p = parse(src)
+        shape = rng.choice([(16, 48), (13, 33), (24, 64)])
+        bits = int("".join(c for c in base if c.isdigit()))
+        signed = not base.startswith("u")
+        nprng = np.random.default_rng(seed)
+        vals = [int.from_bytes(nprng.bytes(16), "little") & ((1 << bits) - 1)
+                for _ in range(shape[0] * shape[1])]
+        if signed:
+            vals = [v - (1 << bits) if v >= (1 << (bits - 1)) else v
+                    for v in vals]
+        x = np.array(vals, dtype=object).reshape(shape)
+        try:
+            gold = numpy_interp.run(p, {"a": x})["out"]
+            got_c = cpp_backend.compile_and_run(p, {"a": x})["out"]
+            ok = bool((got_c == gold).all())
+            tag = "cpp"
+            if seed % 4 == 0:
+                got_x = xb.run(p, {"a": x})["out"]
+                ok = ok and bool((got_x == gold).all())
+                tag = "cpp+xla"
+        except Exception as e:  # noqa: BLE001
+            print(f"seed {seed}: RUN FAILED {type(e).__name__}: {e}\n{src}")
+            failures += 1
+            continue
+        print(f"seed {seed} [{base}, {tag}]: {'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            print(src)
+            failures += 1
+    print(f"{failures} failures / {n} seeds (128-bit)")
+    return 1 if failures else 0
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
         else 40
     hw = "--hw" in sys.argv
+    if "--w128" in sys.argv:
+        return fuzz_128(n)
 
     from soda_tpu.backend import pallas as pb
     from soda_tpu.frontend.parser import parse
@@ -158,12 +255,14 @@ def main() -> int:
                 # (~0.6% observed at iterate=4).  ADVICE r2: at
                 # iterate=1 flips CANNOT spread, so gate max error at
                 # f16 scale there; with feedback, bound the FRACTION of
-                # cells beyond f16 tolerance (a systematic defect — even
-                # a single corrupted boundary row — exceeds 2%)
+                # cells beyond f16 tolerance.  Threshold 1.2%: above the
+                # ~0.6% benign flip rate observed at iterate=4, below a
+                # single corrupted row on the largest fuzz shape
+                # (248/13888 = 1.79% interior cells on (64,256) rim 4)
                 if p.iterate <= 1:
                     ok = rel.max() < 3e-2
                 else:
-                    ok = np.mean(rel >= 3e-2) < 0.02
+                    ok = np.mean(rel >= 3e-2) < 0.012
             else:
                 ok = rel.max() < 1e-10
         else:

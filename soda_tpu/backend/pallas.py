@@ -145,17 +145,19 @@ def _wide_planes_in(program: StencilProgram, name: str, v):
     return jnp.asarray(lo), jnp.asarray(hi)
 
 
-def to_wide_values(program: StencilProgram, inputs: Mapping) -> dict:
-    """Host boundary for wide programs: split 64-bit numpy inputs into W
-    pair carriers of jnp planes (W values pass through).  The resulting
-    dict is a valid jit argument — W is a pytree."""
+def _to_wide(values: Mapping, type_of) -> dict:
+    """Host boundary for wide programs: split 64-bit numpy values into W
+    pair carriers of jnp planes (W values pass through; the value coerces
+    to the DECLARED dtype first — a float array fed to an int64 tensor
+    must value-cast, not bit-reinterpret).  The resulting dict is a valid
+    jit argument — W is a pytree."""
     import numpy as np
 
     from ..interp import wide64
 
     out = {}
-    for n, v in inputs.items():
-        t = program.tensors[n].type if n in program.tensors else None
+    for n, v in values.items():
+        t = type_of(n)
         if t is not None and wide64.is_wide(t) and not isinstance(v, wide64.W):
             lo, hi = wide64.split_planes(np.asarray(v).astype(t.np_dtype()))
             out[n] = wide64.wrap_planes(t, jnp.asarray(lo), jnp.asarray(hi),
@@ -163,25 +165,18 @@ def to_wide_values(program: StencilProgram, inputs: Mapping) -> dict:
         else:
             out[n] = v
     return out
+
+
+def to_wide_values(program: StencilProgram, inputs: Mapping) -> dict:
+    return _to_wide(inputs, lambda n: program.tensors[n].type
+                    if n in program.tensors else None)
 
 
 def to_wide_params(program: StencilProgram, params: Mapping) -> dict:
-    """Host boundary for wide params: 64-bit numpy param values -> W pair
-    carriers (jnp.asarray would silently truncate them to 32 bits)."""
-    import numpy as np
-
-    from ..interp import wide64
-
-    out = {}
-    for n, v in params.items():
-        t = program.params[n].type if n in program.params else None
-        if t is not None and wide64.is_wide(t) and not isinstance(v, wide64.W):
-            lo, hi = wide64.split_planes(np.asarray(v).astype(t.np_dtype()))
-            out[n] = wide64.wrap_planes(t, jnp.asarray(lo), jnp.asarray(hi),
-                                        jnp)
-        else:
-            out[n] = v
-    return out
+    """64-bit numpy params -> W pair carriers (jnp.asarray would silently
+    truncate them to 32 bits)."""
+    return _to_wide(params, lambda n: program.params[n].type
+                    if n in program.params else None)
 
 
 def _lane_shift(a: jax.Array, off: int) -> jax.Array:
@@ -1126,11 +1121,19 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
         if program_is_wide(program):
             import numpy as np
 
+            def _lift0(v):
+                if isinstance(v, wide64.W):
+                    return v.map(lambda x: x[None, :])
+                if isinstance(v, np.ndarray):
+                    # host numpy (possibly 64-bit) stays numpy — the
+                    # group fn splits planes itself
+                    return v[None, :]
+                # traced jnp value (the end-to-end wide jit): indexing a
+                # tracer is fine; np.asarray would raise
+                return jnp.asarray(v)[None, :]
+
             def fn1w(inputs, params):
-                ins2 = {k: (v.map(lambda x: x[None, :])
-                            if isinstance(v, wide64.W)
-                            else np.asarray(v)[None, :])
-                        for k, v in inputs.items()}
+                ins2 = {k: _lift0(v) for k, v in inputs.items()}
                 # v[0] maps over W pair carriers (W.__getitem__)
                 return {k: v[0] for k, v in inner(ins2, params).items()}
 

@@ -168,9 +168,15 @@ def run(
         # floats still ride x64 for f64
         def _to_v(v, t):
             if t.is_int and t.width > 64 and not isinstance(v, wide128.V):
+                # wrap with the CARRIER rep (evaluator.acc_of): only
+                # full-width unsigned stays "u"; narrower unsigned (e.g.
+                # uint100) promotes to the signed int128 carrier — using
+                # "u" here would flip the scan-carry pytree metadata
+                # between input ("u") and stored stage value ("i") and
+                # crash iterate>1 programs
+                rep = "u" if (not t.is_signed and t.width >= 128) else "i"
                 return wide128._object_to_limbs(
-                    np.asarray(v, dtype=object),
-                    "i" if t.is_signed else "u", jnp)
+                    np.asarray(v, dtype=object), rep, jnp)
             return v
 
         ins_v = {n: _to_v(inputs[n], program.tensors[n].type)

@@ -114,9 +114,13 @@ def run(
             raise ValueError(f"input {n!r} rank {a.ndim} != program rank {program.rank}")
         if w128 and t.type.is_int and t.type.width > 64:
             # >64-bit inputs: object arrays of Python ints -> limb vectors
-            a = wide128._object_to_limbs(
-                np.asarray(a, dtype=object),
-                "i" if t.type.is_signed else "u", np)
+            # in the CARRIER rep (only full-width unsigned stays "u" —
+            # matches evaluator.acc_of, keeping iterate feedback reps
+            # consistent with stored stage values)
+            rep = ("u" if (not t.type.is_signed and t.type.width >= 128)
+                   else "i")
+            a = wide128._object_to_limbs(np.asarray(a, dtype=object),
+                                         rep, np)
         arrays[n] = a
 
     for p in program.params.values():
@@ -127,9 +131,10 @@ def run(
             raise ValueError(
                 f"param {p.name!r} shape {pv.shape} != declared {p.shape}")
         if w128 and p.type.is_int and p.type.width > 64:
-            pv = wide128._object_to_limbs(
-                np.asarray(pv, dtype=object),
-                "i" if p.type.is_signed else "u", np)
+            rep = ("u" if (not p.type.is_signed and p.type.width >= 128)
+                   else "i")
+            pv = wide128._object_to_limbs(np.asarray(pv, dtype=object),
+                                          rep, np)
         params[p.name] = pv
 
     for sweep in range(max(it, 1)):

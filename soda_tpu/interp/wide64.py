@@ -1080,9 +1080,14 @@ class WideXP:
             v_ds = _ds_exp(_ds_mul(b2, _ds_log(a2)))
             v_f = self.base.power(a2.a + a2.b, b2.a + b2.b)
             pos = a2.a > 0
-            return W("d", self.base.where(pos, v_ds.a, v_f),
-                     self.base.where(pos, v_ds.b,
-                                     self.base.zeros_like(v_f)), self.base)
+            hi = self.base.where(pos, v_ds.a, v_f)
+            lo = self.base.where(pos, v_ds.b, self.base.zeros_like(v_f))
+            # IEEE pow(x, 0) = 1 for EVERY x (inf and NaN included) —
+            # the exp(0·log(x)) route would give exp(NaN) for x=inf/NaN
+            exp0 = (b2.a == 0) & (b2.b == 0)
+            hi = self.base.where(exp0, self.base.ones_like(hi), hi)
+            lo = self.base.where(exp0, self.base.zeros_like(lo), lo)
+            return W("d", hi, lo, self.base)
         return W.plain(self.base.power(a.a, self._plain(b)), self.base)
 
     def _plain_fn(self, name, a, *args):

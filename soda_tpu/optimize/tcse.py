@@ -563,10 +563,14 @@ def _opt_cost(taps: list[tuple[tuple[int, ...], Coeff]], is_int: bool,
     the candidate enumeration).  Memoized on the shift-normalized tap
     set; depth-bounded (stencil factor chains are shallow)."""
     key = _canon(taps)
-    if key in memo:
-        return memo[key]
+    hit = memo.get(key)
+    # memo entries record the DEPTH they were computed at: a value cached
+    # by a shallower recursion is an upper bound, not the optimum — reuse
+    # it only when it was computed at >= this depth (review finding r3)
+    if hit is not None and hit[0] >= depth:
+        return hit[1]
     base = _sum_cost(taps)
-    memo[key] = base  # cycle guard / depth-0 value
+    memo[key] = (depth, base)  # cycle guard / depth-0 value
     if depth <= 0 or len(taps) < 3:
         return base
     best = base
@@ -575,7 +579,7 @@ def _opt_cost(taps: list[tuple[tuple[int, ...], Coeff]], is_int: bool,
                + _opt_cost(rw.outer, is_int, memo, depth - 1))
         if tot < best:
             best = tot
-    memo[key] = best
+    memo[key] = (depth, best)
     return best
 
 

@@ -243,12 +243,15 @@ def _plan_group(
     nf: int,
     block_override: tuple[int, ...] | None,
     updates_per_cell: int = 1,
-    windows_only: bool = False,
+    wide: bool = False,
 ) -> GroupPlan | None:
     """Pick the best block for one fused stage group; None if infeasible.
 
-    windows_only: restrict to the windows strategy (64-bit pair-carrier
-    programs — strips/linebuffer assembly is not pair-aware)."""
+    wide: 64-bit pair-carrier program — doubles the VMEM model (limb
+    temporaries stay live across the two-plane evaluation), sizes
+    intermediates at 8 B/cell, and excludes the rank-3 linebuffer (not
+    yet pair-aware).  The windows, strips AND rank-2 linebuffer
+    strategies all accept pair carriers."""
     rank = program.rank
     ext_inputs, outputs = _group_io(program, members)
     spans = group_spans(program, members, outputs)
@@ -319,8 +322,8 @@ def _plan_group(
                 hs.append((lo, hi))
         halo_strips[i] = tuple(hs)
     # compute/intermediate bytes: f32/int32, or paired-32-bit carriers
-    # when the program has 64-bit tensors (windows_only wide mode)
-    dtype_bytes = 8 if windows_only else 4
+    # when the program has 64-bit tensors (pair-carrier wide mode)
+    dtype_bytes = 8 if wide else 4
 
     # ---- aligned-core hybrid bookkeeping (pad-free strategies on grids
     # whose leading dims are not tile-quantum aligned): the kernel runs on
@@ -426,7 +429,7 @@ def _plan_group(
             # heat3d it=4 strips (64,256,256) modeled 95.8 MiB WITHOUT this
             # term fails VMEM allocation; (32,256,256) at 54 MiB runs)
             vmem += 2 * win_bytes
-        if windows_only:
+        if wide:
             # pair-carrier kernels keep limb temporaries live across the
             # two-plane evaluation: hardware probe (accum64 strips
             # (1024,2048), modeled 80.75 MiB) failed Mosaic allocation at
@@ -564,7 +567,7 @@ def _plan_group(
                         + (bh + rlo8) * W * in_io   # carry scratch
                         + S * W * dtype_bytes * (len(ext_inputs)
                                                  + len(members) + 1))
-                if windows_only:
+                if wide:
                     # pair-carrier limb temporaries stay live across the
                     # two-plane evaluation (same 2x as evaluate())
                     vmem *= 2
@@ -588,7 +591,8 @@ def _plan_group(
     #    leading dim with R carried planes in persistent VMEM scratch —
     #    no halo re-reads, no host-pad copies (the VMEM analog of SODA's
     #    line buffer, one-read-per-cell) --------------------------------
-    if rank == 3 and nf == 1 and block_override is None and not windows_only:
+    # 3-D linebuffer: not yet pair-aware (no wide 3-D corpus program)
+    if rank == 3 and nf == 1 and block_override is None and not wide:
         Z, Y, X = grid_shape
         Zc, Yc = core[0], core[1]  # == Z, Y when the grid is aligned
         # slab margins: the kernel evaluates stages at CONSTANT slab
@@ -732,7 +736,7 @@ def plan(
             program, stages, grid_shape, vmem_budget=vmem_budget,
             max_compute_waste=max_compute_waste, nf=nf,
             block_override=block_override, updates_per_cell=updates_per_cell,
-            windows_only=wide)
+            wide=wide)
 
     # 1) whole-program fusion at the requested sweep count, backing off
     #    sweeps on halo blowup (fused sweeps must divide iterate — a
@@ -837,7 +841,7 @@ def plan(
             program, trial, grid_shape, vmem_budget=vmem_budget,
             max_compute_waste=max_compute_waste, nf=1,
             block_override=block_override, updates_per_cell=updates_per_cell,
-            windows_only=wide)
+            wide=wide)
         if gp is not None:
             cur, cur_plan = trial, gp
             continue
@@ -851,7 +855,7 @@ def plan(
             program, cur, grid_shape, vmem_budget=vmem_budget,
             max_compute_waste=max_compute_waste, nf=1,
             block_override=block_override, updates_per_cell=updates_per_cell,
-            windows_only=wide)
+            wide=wide)
         if cur_plan is None:
             raise ValueError(
                 f"stage {s!r} alone does not fit vmem budget {vmem_budget} "

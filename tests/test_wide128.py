@@ -183,3 +183,20 @@ def test_float_conversions_and_casts():
             want[i, j] = (int(math.trunc(float(tap(i, j, 0)) * 0.5))
                           + wrap(tap(i, j, 1), True, 96))
     assert (got == want).all()
+
+
+def test_uint_narrow_iterate_xla_scan_rep():
+    """Review r3 #1: uint65..127 programs wrap inputs with the CARRIER rep
+    ("i" — C promotion of narrower unsigned), so the scan-carry pytree
+    stays consistent across iterate feedback on the XLA backend."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from soda_tpu.backend import xla as xb
+
+    p = parse("kernel: u100\niterate: 2\ninput uint100: a(64, *)\n"
+              "output uint100: out(0,0) = a(0,-1) + a(0,1) * uint100(3)\n")
+    x = rand128(16 * 48, False, 100).reshape(16, 48)
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = xb.run(p, {"a": x})["out"]
+    assert (got == gold).all()

@@ -561,3 +561,31 @@ def test_ds_trig_through_pallas():
     gold = numpy_interp.run(p, {"a": x})["out"]
     got = pb.run(p, {"a": x}, interpret=True)["out"]
     assert np.abs(gold - got).max() < 1e-9
+
+
+def test_rank1_wide_mixed_inputs_jit():
+    """Review r3 #2: a rank-1 wide program with a NON-wide input must
+    trace under the end-to-end wide jit (the (1, X) lift used
+    np.asarray on what is now a traced value)."""
+    p = parse("kernel: r1w\ninput int64: a(2048)\ninput float: w(2048)\n"
+              "output int64: out(0) = a(-1) + a(1) + int64(w(0) * 100.0)\n")
+    x = rng.integers(-2**40, 2**40, 2048).astype(np.int64)
+    f = rng.standard_normal(2048).astype(np.float32)
+    gold = numpy_interp.run(p, {"a": x, "w": f})["out"]
+    got = pb.run(p, {"a": x, "w": f}, interpret=True)["out"]
+    assert np.array_equal(gold[1:-1], got[1:-1])
+
+
+def test_ds_pow_exponent_zero_is_one():
+    """Review r3 #3: IEEE pow(x, 0) = 1 for every x including inf/NaN —
+    the DS exp(0*log(x)) route must not leak NaN."""
+    xp = WideXP(np)
+
+    def ds(v):
+        lo, hi = split_planes(np.asarray(v, np.float64))
+        return W("d", hi, lo, np)
+
+    r = xp.power(ds(np.array([np.inf, np.nan, 5.0, -3.0, 0.0])),
+                 ds(np.zeros(5)))
+    got = merge_planes(r.b, r.a, np.float64)
+    assert (got == 1.0).all()
