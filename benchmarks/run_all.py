@@ -36,6 +36,8 @@ CONFIGS = [
     ("smooth_half", (4096, 4096), None),       # 2 B/cell f16-bit streaming
     ("accum64", (2048, 2048), None),           # in-kernel s64 pair carriers
     ("poisson_f64", (2048, 2048), None),       # in-kernel double-single f64
+    ("poisson3d_f64", (256, 256, 256), None),  # pair-aware 3-D line buffer
+    ("reaction_f64", (2048, 2048), None),      # DS-accurate exp in-kernel
 ]
 
 

@@ -41,6 +41,7 @@ AT_SIZE = [
     ("accum64", (2048, 2048), None, None, "linebuffer"),  # wide pair LB
     ("poisson_f64", (2048, 2048), None, None, "linebuffer"),  # DS-f64 LB
     ("jacobi2d_i64", (2048, 2048), None, 20, "strips"),   # wide fori x20
+    ("poisson3d_f64", (256, 256, 256), None, None, "linebuffer"),  # 3-D pair LB
     ("blur", (2048, 4096), None, None, "linebuffer"),     # 2-D row-march
     ("heat3d", (256, 256, 256), None, None, "strips"),    # fused-sweep 3-D
 ]

@@ -201,8 +201,9 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
 def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
                               grid_shape: tuple[int, ...],
                               interpret: bool = False):
+    from ..interp import wide64
     from .pallas import (_group_params, _io_dtype, _is_half, _param_ops,
-                         _read_params, _shift_all, _to_io,
+                         _read_params, _shift_all, _to_io, _wide_planes_in,
                          f16_bits_decode, f16_bits_encode)
 
     rank = program.rank
@@ -224,112 +225,173 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
     rz_hi = creep1[0][1]
     # y halo (strip width) from the plan; 0 when y is untiled (by == Y)
     hy = max((g.halo[i][1][0] for i in g.external_inputs), default=0)
-    n_in = len(g.external_inputs)
     param_names = _group_params(program, g)
     wy = by + 2 * hy
+    wide = wide64.program_is_wide(program)
+    wide_in = {n: wide64.is_wide(program.tensors[n].type)
+               for n in g.external_inputs}
+    out_wide = [wide64.is_wide(program.tensors[o].type) for o in g.outputs]
+    n_par_ops = sum(2 if wide64.is_wide(program.params[n].type) else 1
+                    for n in param_names)
 
-    # per input: center piece (+ y-lo / y-hi strips when y is tiled)
+    def _plane_dtype(name):
+        t = program.tensors[name].type
+        return jnp.float32 if t.is_float else jnp.uint32
+
+    def _op_dtype(name):
+        return (_plane_dtype(name)
+                if wide64.is_wide(program.tensors[name].type)
+                else _io_dtype(program, name))
+
+    # per input: center piece (+ y-lo / y-hi strips when y is tiled);
+    # PAIR-AWARE (round 3): wide inputs ship two 32-bit plane operands
+    # per piece with two plane carries — 3-D wide programs get the
+    # one-read-per-cell march
     piece_kinds = [0] if hy == 0 else [-1, 0, 1]
+    in_ops_index = [(n, kind, pl_i)
+                    for n in g.external_inputs
+                    for kind in piece_kinds
+                    for pl_i in range(2 if wide_in[n] else 1)]
+    n_in_ops = len(in_ops_index)
+    carry_index = [(n, pl_i) for n in g.external_inputs
+                   for pl_i in range(2 if wide_in[n] else 1)]
 
     in_specs = []
-    for _name in g.external_inputs:
-        for kind in piece_kinds:
-            w = {0: by, -1: hy, 1: hy}[kind]
+    for _name, kind, _pl in in_ops_index:
+        w = {0: by, -1: hy, 1: hy}[kind]
 
-            def imap(j, i, _kind=kind):
-                z = pl.multiple_of(jnp.minimum(i, Gz - 1) * bz, 8)
-                if _kind == 0:
-                    y = j * by
-                elif _kind == -1:
-                    y = pl.multiple_of(jnp.maximum(j * by - hy, 0), 8)
-                else:
-                    y = pl.multiple_of(jnp.minimum((j + 1) * by, Yc - hy), 8)
-                return (z, y, 0)
+        def imap(j, i, _kind=kind):
+            z = pl.multiple_of(jnp.minimum(i, Gz - 1) * bz, 8)
+            if _kind == 0:
+                y = j * by
+            elif _kind == -1:
+                y = pl.multiple_of(jnp.maximum(j * by - hy, 0), 8)
+            else:
+                y = pl.multiple_of(jnp.minimum((j + 1) * by, Yc - hy), 8)
+            return (z, y, 0)
 
-            in_specs.append(pl.BlockSpec(
-                (pl.Element(bz), pl.Element(w), pl.Element(X)),
-                imap, memory_space=pltpu.VMEM))
-    for _ in param_names:
+        in_specs.append(pl.BlockSpec(
+            (pl.Element(bz), pl.Element(w), pl.Element(X)),
+            imap, memory_space=pltpu.VMEM))
+    for _ in range(n_par_ops):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
-    out_specs = [
-        pl.BlockSpec((bz, by, X),
-                     lambda j, i: (jnp.maximum(i - 1, 0), j, 0),
-                     memory_space=pltpu.VMEM)
-        for _ in g.outputs
-    ]
-    out_shapes = [
-        jax.ShapeDtypeStruct((Z, Y, X), _io_dtype(program, o))
-        for o in g.outputs
-    ]
+    out_specs = []
+    out_shapes = []
+    for o, w_ in zip(g.outputs, out_wide):
+        for _ in range(2 if w_ else 1):
+            out_specs.append(pl.BlockSpec(
+                (bz, by, X), lambda j, i: (jnp.maximum(i - 1, 0), j, 0),
+                memory_space=pltpu.VMEM))
+            out_shapes.append(jax.ShapeDtypeStruct((Z, Y, X), _op_dtype(o)))
+    n_out_ops = len(out_shapes)
     scratch = [
-        pltpu.VMEM((bz + rz_lo, wy, X), _io_dtype(program, n))
-        for n in g.external_inputs
+        pltpu.VMEM((bz + rz_lo, wy, X), _op_dtype(n))
+        for n, _p in carry_index
     ]
-
-    npieces = len(piece_kinds)
 
     def kernel(*refs):
-        in_refs = refs[:n_in * npieces]
-        par_refs = refs[n_in * npieces:n_in * npieces + len(param_names)]
-        out_refs = refs[n_in * npieces + len(param_names):
-                        n_in * npieces + len(param_names) + len(g.outputs)]
-        carry_refs = refs[n_in * npieces + len(param_names) + len(g.outputs):]
+        in_refs = refs[:n_in_ops]
+        par_refs = refs[n_in_ops:n_in_ops + n_par_ops]
+        raw_out = refs[n_in_ops + n_par_ops:n_in_ops + n_par_ops + n_out_ops]
+        carry_refs = refs[n_in_ops + n_par_ops + n_out_ops:]
+        out_refs = []
+        jj = 0
+        for w_ in out_wide:
+            if w_:
+                out_refs.append((raw_out[jj], raw_out[jj + 1]))
+                jj += 2
+            else:
+                out_refs.append(raw_out[jj])
+                jj += 1
 
         j = pl.program_id(0)
         i = pl.program_id(1)
         params = _read_params(program, param_names, par_refs)
 
-        # assemble each input's y-extended block (bz, by + 2*hy, X)
-        blocks = {}
-        for k, n in enumerate(g.external_inputs):
+        # assemble each (input, plane)'s y-extended block (bz, wy, X);
+        # operand order matches in_ops_index: per input, KIND outer
+        # (lo strip, center, hi strip), PLANE inner
+        blocks: dict = {}
+        op_i = 0
+        for n in g.external_inputs:
+            nplanes = 2 if wide_in[n] else 1
             if hy == 0:
-                blocks[n] = in_refs[k][:]
+                for pl_i in range(nplanes):
+                    blocks[(n, pl_i)] = in_refs[op_i][:]
+                    op_i += 1
             else:
-                lo = in_refs[k * 3 + 0][:]
-                mid = in_refs[k * 3 + 1][:]
-                hi = in_refs[k * 3 + 2][:]
-                lo = jnp.where(j == 0, jnp.zeros_like(lo), lo)
-                hi = jnp.where(j == Gy - 1, jnp.zeros_like(hi), hi)
-                blocks[n] = jnp.concatenate([lo, mid, hi], axis=1)
+                for pl_i in range(nplanes):
+                    lo = in_refs[op_i + pl_i][:]
+                    mid = in_refs[op_i + nplanes + pl_i][:]
+                    hi = in_refs[op_i + 2 * nplanes + pl_i][:]
+                    lo = jnp.where(j == 0, jnp.zeros_like(lo), lo)
+                    hi = jnp.where(j == Gy - 1, jnp.zeros_like(hi), hi)
+                    blocks[(n, pl_i)] = jnp.concatenate([lo, mid, hi],
+                                                        axis=1)
+                op_i += 3 * nplanes
 
         @pl.when(i > 0)
         def _():
-            slabs = {}
-            for k, n in enumerate(g.external_inputs):
-                b = blocks[n]
+            plane_slabs: dict = {}
+            for k, (n, pl_i) in enumerate(carry_index):
+                b = blocks[(n, pl_i)]
                 parts = [carry_refs[k][:]]
                 if rz_hi > 0:
                     zeros_top = jnp.zeros((rz_hi,) + b.shape[1:], b.dtype)
                     parts.append(jnp.where(i == Gz, zeros_top, b[:rz_hi]))
-                slabs[n] = (jnp.concatenate(parts, axis=0)
-                            if len(parts) > 1 else parts[0])
+                plane_slabs[(n, pl_i)] = (jnp.concatenate(parts, axis=0)
+                                          if len(parts) > 1 else parts[0])
 
-            vals = dict(slabs)
+            vals: dict = {}
+            for n in g.external_inputs:
+                if wide_in[n]:
+                    vals[n] = wide64.wrap_planes(
+                        program.tensors[n].type,
+                        plane_slabs[(n, 0)], plane_slabs[(n, 1)], jnp)
+                else:
+                    vals[n] = plane_slabs[(n, 0)]
             # half slabs are f16 BIT PATTERNS (carries stay encoded; the
             # zero bit pattern IS +0.0, preserving the zero-fill border)
             for n in g.external_inputs:
-                if _is_half(program, n) and vals[n].dtype == jnp.uint16:
+                if _is_half(program, n) and getattr(
+                        vals[n], "dtype", None) == jnp.uint16:
                     vals[n] = f16_bits_decode(vals[n])
-            ctx = EvalContext(
-                program=program, xp=jnp,
-                tap=lambda p_, off: _shift_all(vals[p_], off),
-                params=params, int_width=32)
+            if wide:
+                ctx = EvalContext(program=program, xp=wide64.WideXP(jnp),
+                                  tap=lambda p_, off: _shift_all(
+                                      vals[p_], off),
+                                  params=params, int_width=64,
+                                  tpu_wide=True)
+            else:
+                ctx = EvalContext(
+                    program=program, xp=jnp,
+                    tap=lambda p_, off: _shift_all(vals[p_], off),
+                    params=params, int_width=32)
             for name in g.stages:
                 t = program.tensors[name]
                 v, vt = eval_expr(t.expr, ctx)
                 vals[name] = store_cast(ctx, v, vt, t.type)
             for name, ref in zip(g.outputs, out_refs):
                 v = vals[name][rz_lo:rz_lo + bz, hy:hy + by]
-                if _is_half(program, name) and ref.dtype == jnp.uint16:
-                    ref[:] = f16_bits_encode(v).astype(jnp.uint16)
+                ty = program.tensors[name].type
+                if isinstance(ref, tuple):  # wide: (lo, hi) plane refs
+                    lo, hi = wide64.unwrap_planes(
+                        ty, v.astype(ty.np_dtype()))
+                    ref[0][:] = lo.astype(ref[0].dtype)
+                    ref[1][:] = hi.astype(ref[1].dtype)
+                elif _is_half(program, name) and ref.dtype == jnp.uint16:
+                    raw = v.a if isinstance(v, wide64.W) else v
+                    ref[:] = f16_bits_encode(raw).astype(jnp.uint16)
+                elif wide and isinstance(v, wide64.W):
+                    ref[:] = v.astype(ref.dtype).a
                 else:
                     ref[:] = v.astype(ref.dtype)
 
         # carry update: new C = [i·bz - rz_lo, (i+1)·bz) of the y-extended
         # block stream; re-initialized at i == 0 for each fresh y block
-        for k, n in enumerate(g.external_inputs):
-            b = blocks[n]
+        for k, (n, pl_i) in enumerate(carry_index):
+            b = blocks[(n, pl_i)]
 
             @pl.when(i == 0)
             def _(b=b, k=k):
@@ -357,15 +419,32 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
         interpret=interpret,
     )
 
+    npieces = len(piece_kinds)
+
     def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
         ops = []
         for n in g.external_inputs:
-            x = _to_io(program, n, values[n])
-            ops.extend([x] * npieces)
+            if wide_in[n]:
+                planes = _wide_planes_in(program, n, values[n])
+                for _ in range(npieces):
+                    ops.extend(planes)
+            else:
+                x = _to_io(program, n, values[n])
+                ops.extend([x] * npieces)
         ops.extend(_param_ops(program, param_names, params))
         outs = call(*ops)
-        if len(g.outputs) == 1:
+        if not isinstance(outs, (tuple, list)):
             outs = (outs,)
-        return dict(zip(g.outputs, outs))
+        res = {}
+        jj = 0
+        for o, w_ in zip(g.outputs, out_wide):
+            if w_:
+                res[o] = wide64.wrap_planes(
+                    program.tensors[o].type, outs[jj], outs[jj + 1], jnp)
+                jj += 2
+            else:
+                res[o] = outs[jj]
+                jj += 1
+        return res
 
     return fn

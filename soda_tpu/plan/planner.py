@@ -248,10 +248,9 @@ def _plan_group(
     """Pick the best block for one fused stage group; None if infeasible.
 
     wide: 64-bit pair-carrier program — doubles the VMEM model (limb
-    temporaries stay live across the two-plane evaluation), sizes
-    intermediates at 8 B/cell, and excludes the rank-3 linebuffer (not
-    yet pair-aware).  The windows, strips AND rank-2 linebuffer
-    strategies all accept pair carriers."""
+    temporaries stay live across the two-plane evaluation) and sizes
+    intermediates at 8 B/cell.  EVERY strategy (windows, strips, 2-D and
+    3-D linebuffer) accepts pair carriers."""
     rank = program.rank
     ext_inputs, outputs = _group_io(program, members)
     spans = group_spans(program, members, outputs)
@@ -591,8 +590,9 @@ def _plan_group(
     #    leading dim with R carried planes in persistent VMEM scratch —
     #    no halo re-reads, no host-pad copies (the VMEM analog of SODA's
     #    line buffer, one-read-per-cell) --------------------------------
-    # 3-D linebuffer: not yet pair-aware (no wide 3-D corpus program)
-    if rank == 3 and nf == 1 and block_override is None and not wide:
+    # pair-aware since round 3: wide tensors ride two plane operands with
+    # plane carries (in_io already counts 16 B/cell for 64-bit types)
+    if rank == 3 and nf == 1 and block_override is None:
         Z, Y, X = grid_shape
         Zc, Yc = core[0], core[1]  # == Z, Y when the grid is aligned
         # slab margins: the kernel evaluates stages at CONSTANT slab
@@ -638,6 +638,9 @@ def _plan_group(
                         + 2 * bz * by * X * out_io
                         + carry_bytes
                         + slab_bytes * n_tmp)
+                if wide:
+                    # pair-carrier limb temporaries (same 2x as evaluate())
+                    vmem *= 2
                 # linebuffer-specific headroom: the probes above bound the
                 # real feasibility at ~126 MiB of modeled bytes on the
                 # 128-MiB-VMEM v5e, above the general-purpose default

@@ -231,9 +231,10 @@ def test_pallas_mixed_narrow_wide():
 
 
 def test_plan_constrains_wide_strategies():
-    """Wide programs: windows or (pad-free, aligned-grid-only) strips —
-    never linebuffer, never fused sweeps; unaligned grids fall back to
-    windows (the XLA rim path is not pair-aware)."""
+    """Wide ITERATE programs: windows or strips (the rank-2 linebuffer is
+    single-sweep-only); fused sweeps run the trapezoid schedule up to the
+    cap, then the pair-carrying fori; non-pow2 wide integer division
+    disables fusion (compile-cost guard)."""
     from soda_tpu.plan.planner import plan
 
     p = parse("kernel: w\niterate: 4\ninput int64: a(128, *)\n"
@@ -589,3 +590,29 @@ def test_ds_pow_exponent_zero_is_one():
                  ds(np.zeros(5)))
     got = merge_planes(r.b, r.a, np.float64)
     assert (got == 1.0).all()
+
+
+def test_wide_linebuffer_3d_bit_exact():
+    """Round 3: the 3-D z-march line buffer is pair-aware — wide tensors
+    ride two plane operands with plane carries.  int64 bit-exact and
+    double at DS accuracy, incl. the y-tiled variant."""
+    from soda_tpu.plan.planner import plan
+
+    src = ("kernel: lb3w\ninput int64: u(256, 256, *)\n"
+           "output int64: r(0,0,0) = (u(-1,0,0) + u(1,0,0) + u(0,-1,0)"
+           " + u(0,1,0) + u(0,0,-1) + u(0,0,1)) / 8 + u(0,0,0) * int64(3)\n")
+    p = parse(src)
+    pl = plan(p, (64, 64, 128))
+    assert pl.groups[0].strategy == "linebuffer"
+    x = rng.integers(-2**40, 2**40, (64, 64, 128)).astype(np.int64)
+    gold = numpy_interp.run(p, {"u": x})["r"]
+    got = pb.run(p, {"u": x}, the_plan=pl, interpret=True)["r"]
+    assert np.array_equal(gold, got)
+    # y-tiled (hy > 0) under a tight budget
+    pl2 = plan(p, (64, 256, 256), vmem_budget=24 * 2**20)
+    g2 = pl2.groups[0]
+    assert g2.strategy == "linebuffer" and g2.block[1] < 256
+    x2 = rng.integers(-2**40, 2**40, (64, 256, 256)).astype(np.int64)
+    gold2 = numpy_interp.run(p, {"u": x2})["r"]
+    got2 = pb.run(p, {"u": x2}, the_plan=pl2, interpret=True)["r"]
+    assert np.array_equal(gold2, got2)
