@@ -107,6 +107,22 @@ def main() -> int:
     dt = (time.perf_counter() - t0) / REPS
     gcells = (N ** 3) / dt / 1e9
 
+    # secondary analytic rooflines (exact plan byte counts, no hardware):
+    # the temporally-fused and wide-pair headline configs of this round
+    def _pct(name, shape, **kw):
+        pp = parse_file(here / "tests" / "soda" / f"{name}.soda")
+        rr = report_mod.analyze(planner_mod.plan(pp, shape, **kw),
+                                program=pp)
+        return round(100.0 * rr.roofline_fraction, 1)
+
+    secondary = {
+        "jacobi2d_it8_2048_vs_8sweep_ideal_pct": _pct("jacobi2d",
+                                                      (2048, 2048)),
+        "accum64_2048_wide_roofline_pct": _pct("accum64", (2048, 2048)),
+        "poisson3d_f64_256_wide_roofline_pct": _pct("poisson3d_f64",
+                                                    (256, 256, 256)),
+    }
+
     print(json.dumps({
         "metric": "jacobi3d_512cubed_single_sweep_roofline",
         "value": round(roofline_pct, 1),
@@ -116,6 +132,7 @@ def main() -> int:
         "xla_bytes_per_cell": (None if xla_bpc is None else round(xla_bpc, 3)),
         "cross_check_ok": cross_check_ok,
         "est_gcells_per_s_v5e": round(rep.est_gcells_per_s_v5e, 1),
+        **secondary,
         "wallclock_gcells_per_s": round(gcells, 2),
         "wallclock_vs_baseline_82": round(gcells / BASELINE_GCELLS, 3),
         "wallclock_note": "unreliable on timing-emulated devices (BASELINE.md)",

@@ -112,6 +112,15 @@ def make_parser() -> argparse.ArgumentParser:
                     help="halo-exchange cadence for --mesh: one value, or "
                          "one per mesh axis (each must divide iterate and "
                          "form a divisor chain); default: modeled auto")
+    ap.add_argument("--mesh-local-backend", choices=["xla", "pallas"],
+                    default="xla",
+                    help="per-shard local compute for --mesh: portable "
+                         "jnp (default) or per-shard Pallas kernels (the "
+                         "performance path on a real multi-chip pod)")
+    ap.add_argument("--mesh-overlap", action="store_true",
+                    help="overlap the halo exchange with interior compute "
+                         "under --mesh (identical results; see "
+                         "parallel/mesh.py)")
     ap.add_argument("--link-model", type=str, default=None,
                     metavar="CLASS=GBPS:LAT[,...]",
                     help="calibrate the mesh link model driving auto "
@@ -367,7 +376,10 @@ def main(argv=None) -> int:
             spe = _parse_cadence(args.sweeps_per_exchange, names)
             outs = run_sharded(program, ins, ps, axis_sizes=sizes,
                                axis_names=names, link_classes=links,
-                               sweeps_per_exchange=spe)
+                               sweeps_per_exchange=spe,
+                               local_backend=args.mesh_local_backend,
+                               overlap=args.mesh_overlap,
+                               interpret=bool(args.interpret))
         elif args.backend == "pallas":
             from ..backend import pallas as pb
             # --interpret forces the interpreter; otherwise let the backend

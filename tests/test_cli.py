@@ -131,3 +131,14 @@ def test_compile_cache_flag(tmp_path, capsys):
     assert rc == 0
     assert "PASS" in capsys.readouterr().out
     assert cache.exists() and any(cache.iterdir())  # cache populated
+
+
+def test_mesh_local_backend_and_overlap_flags():
+    """--mesh-local-backend pallas + --mesh-overlap route through the
+    per-shard Pallas kernels and the comms/compute-overlap path (the
+    conftest's 8-device CPU sim; interpret mode)."""
+    rc = main([
+        str(SODA / "jacobi2d.soda"), "--grid-shape", "64,128",
+        "--mesh", "4", "--mesh-local-backend", "pallas", "--interpret",
+        "--mesh-overlap", "--run"])
+    assert rc == 0
