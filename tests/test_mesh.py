@@ -527,3 +527,15 @@ def test_link_model_calibration_hook():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="link-model"):
         set_link_model("garbage")
+
+
+def test_rank1_mesh_sharding_uneven():
+    """Rank-1 programs shard over the mesh too (999 cells over 8 devices
+    — pad-to-shard on the only dim)."""
+    p = parse_file(SODA / "smooth1d.soda")
+    x = rng.standard_normal(999).astype(np.float32)
+    gold = numpy_interp.run(p, {p.input_names[0]: x})
+    got = run_sharded(p, {p.input_names[0]: x}, axis_sizes=[8], dims=[0])
+    k = p.output_names[0]
+    r = p.valid_rim()
+    assert np.allclose(got[k][r:-r], gold[k][r:-r], rtol=1e-5, atol=1e-5)

@@ -616,3 +616,15 @@ def test_wide_linebuffer_3d_bit_exact():
     gold2 = numpy_interp.run(p, {"u": x2})["r"]
     got2 = pb.run(p, {"u": x2}, the_plan=pl2, interpret=True)["r"]
     assert np.array_equal(gold2, got2)
+
+
+def test_rank4_wide_bit_exact():
+    """Rank-4 64-bit programs plan and run (generic candidate ladder +
+    pair carriers compose)."""
+    p = parse("kernel: r4w\ninput int64: a(8, 8, 16, *)\n"
+              "output int64: b(0,0,0,0) = a(-1,0,0,0) + a(0,1,0,0)"
+              " + a(0,0,-1,0) + a(0,0,0,1) * int64(7)\n")
+    x = rng.integers(-2**40, 2**40, (8, 8, 16, 128)).astype(np.int64)
+    gold = numpy_interp.run(p, {"a": x})["b"]
+    got = pb.run(p, {"a": x}, interpret=True)["b"]
+    assert np.array_equal(gold, got)
