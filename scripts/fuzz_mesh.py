@@ -8,14 +8,16 @@ Covers the axes the unit tests sample only pointwise: UNEVEN grids
 backends (xla / per-shard Pallas in interpret mode), multi-stage
 programs, and 64-bit plane-pair sharding.
 
-Gates: SINGLE-STAGE programs at exchange-every-sweep must be BIT-exact
-vs the oracle on the whole grid, rim included (a single stage's
-constant-extent zero-fill evaluation IS the oracle's semantics).
-Multi-stage chains and deeper cadences compare with the border-invalid
-rim excluded: stage values at virtual out-of-grid rows are computed from
-zero-filled inputs rather than defined as zero, so mixed-sign chains
-legitimately deviate inside the rim — identical to the single-chip
-Pallas constant-extent semantics (docs/SEMANTICS.md, border: ignore).
+Gates: SINGLE-STAGE programs at exchange-every-sweep compare on the
+whole grid, rim included (a single stage's constant-extent zero-fill
+evaluation IS the oracle's semantics): INTEGERS bit-exact, floats at f32
+tolerance (XLA contracts mul+add into FMA where numpy rounds separately
+— the documented cross-backend float channel).  Multi-stage chains and
+deeper cadences compare with the border-invalid rim excluded: stage
+values at virtual out-of-grid rows are computed from zero-filled inputs
+rather than defined as zero, so mixed-sign chains legitimately deviate
+inside the rim — identical to the single-chip Pallas constant-extent
+semantics (docs/SEMANTICS.md, border: ignore).
 
     python scripts/fuzz_mesh.py [n_seeds]
 
@@ -136,7 +138,12 @@ def main() -> int:
         if g.size == 0:
             print(f"seed {seed}: rim leaves no interior, skipped")
             continue
-        if base == "float":
+        if exact_everywhere and base != "float":
+            # single-stage + exchange-every-sweep: integers BIT-exact,
+            # rim included (floats stay at f32 tolerance below — XLA's
+            # FMA contraction differs from numpy's per-op rounding)
+            ok = np.array_equal(g, o)
+        elif base == "float":
             ok = np.allclose(g.astype(np.float64), o.astype(np.float64),
                              rtol=1e-4, atol=1e-4)
         else:

@@ -29,6 +29,54 @@ from ..ir.program import StencilProgram
 from ..plan.planner import GroupPlan
 
 
+# ---- shared pair-carrier plumbing (2-D and 3-D builders) -------------------
+
+
+def _plane_dtype(program: StencilProgram, name: str):
+    t = program.tensors[name].type
+    return jnp.float32 if t.is_float else jnp.uint32
+
+
+def _op_dtype(program: StencilProgram, name: str):
+    """HBM dtype of one kernel operand: a 32-bit plane for wide tensors,
+    the regular storage dtype otherwise."""
+    from ..interp import wide64
+    from .pallas import _io_dtype
+
+    if wide64.is_wide(program.tensors[name].type):
+        return _plane_dtype(program, name)
+    return _io_dtype(program, name)
+
+
+def _pair_out_refs(out_wide: list, raw):
+    """Group flat output refs: wide outputs get (lo, hi) ref tuples."""
+    out_refs, j = [], 0
+    for w in out_wide:
+        if w:
+            out_refs.append((raw[j], raw[j + 1]))
+            j += 2
+        else:
+            out_refs.append(raw[j])
+            j += 1
+    return out_refs
+
+
+def _wrap_out_planes(program: StencilProgram, outputs, out_wide, outs):
+    """fn-side: wrap wide output plane pairs back into W carriers."""
+    from ..interp import wide64
+
+    res, j = {}, 0
+    for o, w in zip(outputs, out_wide):
+        if w:
+            res[o] = wide64.wrap_planes(
+                program.tensors[o].type, outs[j], outs[j + 1], jnp)
+            j += 2
+        else:
+            res[o] = outs[j]
+            j += 1
+    return res
+
+
 def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
                                 grid_shape: tuple[int, ...],
                                 interpret: bool = False):
@@ -65,15 +113,6 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
     n_par_ops = sum(2 if wide64.is_wide(program.params[n].type) else 1
                     for n in param_names)
 
-    def _plane_dtype(name):
-        t = program.tensors[name].type
-        return jnp.float32 if t.is_float else jnp.uint32
-
-    def _op_dtype(name):
-        return _plane_dtype(name) if wide_in.get(
-            name, wide64.is_wide(program.tensors[name].type)) \
-            else _io_dtype(program, name)
-
     # uniform rounded halo (planner sets the same for every input)
     rlo8 = max(g.halo[i][0][0] for i in g.external_inputs)
     rhi8 = max(g.halo[i][0][1] for i in g.external_inputs)
@@ -97,10 +136,10 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
                 (bh, W), lambda i: (jnp.maximum(i - 1, 0), 0),
                 memory_space=pltpu.VMEM))
             out_shapes.append(jax.ShapeDtypeStruct(
-                (H, W), _op_dtype(o)))
+                (H, W), _op_dtype(program, o)))
     n_out_ops = len(out_shapes)
     scratch = [
-        pltpu.VMEM((bh + rlo8, W), _op_dtype(n))
+        pltpu.VMEM((bh + rlo8, W), _op_dtype(program, n))
         for n, _p in in_ops_index
     ]
 
@@ -109,15 +148,7 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
         par_refs = refs[n_in_ops:n_in_ops + n_par_ops]
         raw_out = refs[n_in_ops + n_par_ops:n_in_ops + n_par_ops + n_out_ops]
         carry_refs = refs[n_in_ops + n_par_ops + n_out_ops:]
-        out_refs = []
-        j = 0
-        for w in out_wide:
-            if w:
-                out_refs.append((raw_out[j], raw_out[j + 1]))
-                j += 2
-            else:
-                out_refs.append(raw_out[j])
-                j += 1
+        out_refs = _pair_out_refs(out_wide, raw_out)
 
         i = pl.program_id(0)
         params = _read_params(program, param_names, par_refs)
@@ -183,17 +214,7 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
         outs = call(*ops)
         if not isinstance(outs, (tuple, list)):
             outs = (outs,)
-        res = {}
-        j = 0
-        for o, w in zip(g.outputs, out_wide):
-            if w:
-                res[o] = wide64.wrap_planes(
-                    program.tensors[o].type, outs[j], outs[j + 1], jnp)
-                j += 2
-            else:
-                res[o] = outs[j]
-                j += 1
-        return res
+        return _wrap_out_planes(program, g.outputs, out_wide, outs)
 
     return fn
 
@@ -233,15 +254,6 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
     out_wide = [wide64.is_wide(program.tensors[o].type) for o in g.outputs]
     n_par_ops = sum(2 if wide64.is_wide(program.params[n].type) else 1
                     for n in param_names)
-
-    def _plane_dtype(name):
-        t = program.tensors[name].type
-        return jnp.float32 if t.is_float else jnp.uint32
-
-    def _op_dtype(name):
-        return (_plane_dtype(name)
-                if wide64.is_wide(program.tensors[name].type)
-                else _io_dtype(program, name))
 
     # per input: center piece (+ y-lo / y-hi strips when y is tiled);
     # PAIR-AWARE (round 3): wide inputs ship two 32-bit plane operands
@@ -283,10 +295,11 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
             out_specs.append(pl.BlockSpec(
                 (bz, by, X), lambda j, i: (jnp.maximum(i - 1, 0), j, 0),
                 memory_space=pltpu.VMEM))
-            out_shapes.append(jax.ShapeDtypeStruct((Z, Y, X), _op_dtype(o)))
+            out_shapes.append(
+                jax.ShapeDtypeStruct((Z, Y, X), _op_dtype(program, o)))
     n_out_ops = len(out_shapes)
     scratch = [
-        pltpu.VMEM((bz + rz_lo, wy, X), _op_dtype(n))
+        pltpu.VMEM((bz + rz_lo, wy, X), _op_dtype(program, n))
         for n, _p in carry_index
     ]
 
@@ -295,15 +308,7 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
         par_refs = refs[n_in_ops:n_in_ops + n_par_ops]
         raw_out = refs[n_in_ops + n_par_ops:n_in_ops + n_par_ops + n_out_ops]
         carry_refs = refs[n_in_ops + n_par_ops + n_out_ops:]
-        out_refs = []
-        jj = 0
-        for w_ in out_wide:
-            if w_:
-                out_refs.append((raw_out[jj], raw_out[jj + 1]))
-                jj += 2
-            else:
-                out_refs.append(raw_out[jj])
-                jj += 1
+        out_refs = _pair_out_refs(out_wide, raw_out)
 
         j = pl.program_id(0)
         i = pl.program_id(1)
@@ -435,16 +440,6 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
         outs = call(*ops)
         if not isinstance(outs, (tuple, list)):
             outs = (outs,)
-        res = {}
-        jj = 0
-        for o, w_ in zip(g.outputs, out_wide):
-            if w_:
-                res[o] = wide64.wrap_planes(
-                    program.tensors[o].type, outs[jj], outs[jj + 1], jnp)
-                jj += 2
-            else:
-                res[o] = outs[jj]
-                jj += 1
-        return res
+        return _wrap_out_planes(program, g.outputs, out_wide, outs)
 
     return fn

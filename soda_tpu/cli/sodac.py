@@ -379,7 +379,9 @@ def main(argv=None) -> int:
                                sweeps_per_exchange=spe,
                                local_backend=args.mesh_local_backend,
                                overlap=args.mesh_overlap,
-                               interpret=bool(args.interpret))
+                               # same auto-detection as --backend pallas:
+                               # off-TPU hosts run the Mosaic interpreter
+                               interpret=True if args.interpret else "auto")
         elif args.backend == "pallas":
             from ..backend import pallas as pb
             # --interpret forces the interpreter; otherwise let the backend

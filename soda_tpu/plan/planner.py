@@ -591,7 +591,9 @@ def _plan_group(
     #    no halo re-reads, no host-pad copies (the VMEM analog of SODA's
     #    line buffer, one-read-per-cell) --------------------------------
     # pair-aware since round 3: wide tensors ride two plane operands with
-    # plane carries (in_io already counts 16 B/cell for 64-bit types)
+    # plane carries.  io_bytes() counts 8 B/cell for 64-bit types (their
+    # HBM traffic); the pair-carrier VMEM overhead comes from the
+    # `vmem *= 2` below, NOT from the I/O terms.
     if rank == 3 and nf == 1 and block_override is None:
         Z, Y, X = grid_shape
         Zc, Yc = core[0], core[1]  # == Z, Y when the grid is aligned

@@ -616,6 +616,18 @@ def test_wide_linebuffer_3d_bit_exact():
     gold2 = numpy_interp.run(p, {"u": x2})["r"]
     got2 = pb.run(p, {"u": x2}, the_plan=pl2, interpret=True)["r"]
     assert np.array_equal(gold2, got2)
+    # double: the 'd' rep swaps plane order (hi, lo) vs ints (lo, hi) —
+    # the output plane-split path must honor it (review r3 coverage gap)
+    src_d = ("kernel: lb3d\ninput double: u(256, 256, *)\n"
+             "output double: r(0,0,0) = (u(-1,0,0) + u(1,0,0) + u(0,-1,0)"
+             " + u(0,1,0) + u(0,0,-1) + u(0,0,1)) * 0.166 - u(0,0,0)\n")
+    pd = parse(src_d)
+    pld = plan(pd, (64, 64, 128))
+    assert pld.groups[0].strategy == "linebuffer"
+    xd = rng.standard_normal((64, 64, 128))
+    gd = numpy_interp.run(pd, {"u": xd})["r"]
+    od = pb.run(pd, {"u": xd}, the_plan=pld, interpret=True)["r"]
+    assert np.abs(gd - od).max() < 1e-12
 
 
 def test_rank4_wide_bit_exact():
