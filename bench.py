@@ -74,8 +74,10 @@ def main() -> int:
     try:
         fn = jax.jit(pallas_backend.build_fn(
             program, grid_shape=grid_shape, interpret=interpret, iterate=1))
+        t_c0 = time.perf_counter()
         lowered = fn.lower(ins, {})
         compiled = lowered.compile()
+        compile_seconds = time.perf_counter() - t_c0
         out = compiled(ins, {})
         jax.block_until_ready(out)
     except Exception as e:  # loud: a flagship-kernel regression must be red
@@ -132,6 +134,10 @@ def main() -> int:
         "xla_bytes_per_cell": (None if xla_bpc is None else round(xla_bpc, 3)),
         "cross_check_ok": cross_check_ok,
         "est_gcells_per_s_v5e": round(rep.est_gcells_per_s_v5e, 1),
+        # BASELINE.json 'compile wall-clock' metric: seconds (cached runs
+        # hit the persistent compilation cache; the reference's Vivado
+        # HLS+P&R flow is hours)
+        "compile_seconds": round(compile_seconds, 2),
         **secondary,
         "wallclock_gcells_per_s": round(gcells, 2),
         "wallclock_vs_baseline_82": round(gcells / BASELINE_GCELLS, 3),
