@@ -35,10 +35,17 @@ def gen(rng: random.Random) -> tuple[str, str, bool]:
     base = rng.choice(["int64", "uint64", "double", "half"])
     is_f = base in ("double", "half")
     low_mag = (not is_f) and rng.random() < 0.5
-    lines = [f"kernel: fw", f"input {base}: a(64, *)"]
+    # ~20% rank-3 (exercises the pair-aware 3-D z-march line buffer and
+    # 3-D strips on wide carriers); the rest rank-2
+    rank3 = rng.random() < 0.2
+    decl = "a(24, 32, *)" if rank3 else "a(64, *)"
+    lines = [f"kernel: fw", f"input {base}: {decl}"]
     prev = ["a"]
 
     def off():
+        if rank3:
+            return (f"{rng.randint(-1, 1)}, {rng.randint(-1, 1)}, "
+                    f"{rng.randint(-2, 2)}")
         return f"{rng.randint(-2, 2)}, {rng.randint(-2, 2)}"
 
     def lit(v):
@@ -91,15 +98,16 @@ def gen(rng: random.Random) -> tuple[str, str, bool]:
         return r
 
     n_stages = rng.randint(1, 3)
+    anchor = "(0, 0, 0)" if rank3 else "(0, 0)"
     for s in range(n_stages):
         src = rng.choice(prev)
         nterms = rng.randint(2, 4)
         expr = " + ".join(term(src) for _ in range(nterms))
         name = f"s{s}" if s + 1 < n_stages else "out"
         kind = "local" if s + 1 < n_stages else "output"
-        lines.append(f"{kind} {base}: {name}(0, 0) = {expr}")
+        lines.append(f"{kind} {base}: {name}{anchor} = {expr}")
         prev.append(name)
-    it = rng.choice([1, 1, 1, 2, 4])
+    it = 1 if rank3 else rng.choice([1, 1, 1, 2, 4])
     if it > 1:
         lines.insert(1, f"iterate: {it}")
     return "\n".join(lines) + "\n", base, low_mag
@@ -214,7 +222,11 @@ def main() -> int:
         rng = random.Random(910_000 + seed)
         src, base, low_mag = gen(rng)
         p = parse(src)
-        shape = rng.choice([(32, 128), (40, 128), (33, 130), (64, 256)])
+        if p.rank == 3:
+            shape = rng.choice([(16, 24, 128), (24, 32, 128),
+                                (17, 25, 130)])
+        else:
+            shape = rng.choice([(32, 128), (40, 128), (33, 130), (64, 256)])
         nprng = np.random.default_rng(seed)
         hi_bits = 28 if low_mag else 48
         if base == "half":
@@ -232,7 +244,8 @@ def main() -> int:
                                dtype=np.uint64)
         gold = numpy_interp.run(p, {"a": x})["out"]
         rim = p.valid_rim()
-        sl = tuple(slice(rim, -rim) if rim else slice(None) for _ in range(2))
+        sl = tuple(slice(rim, -rim) if rim else slice(None)
+                   for _ in range(p.rank))
         if gold[sl].size == 0:
             continue
         interp = not hw or seed % 8 != 0
