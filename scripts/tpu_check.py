@@ -36,6 +36,7 @@ SHAPES = {1: (2048,), 2: (48, 128), 3: (24, 32, 128)}
 # (program, shape, iterate override, forced sweeps, expected strategy)
 AT_SIZE = [
     ("jacobi3d", (512, 512, 512), None, None, "linebuffer"),  # 3-D z-march
+    ("jacobi3d", (1024, 1024, 1024), None, None, "linebuffer"),  # 4 GiB arrays
     ("jacobi3d", (500, 500, 500), None, None, "linebuffer"),  # core + rim
     ("jacobi2d", (2048, 2048), None, None, "strips"),     # trapezoid it=8
     ("accum64", (2048, 2048), None, None, "linebuffer"),  # wide pair LB
