@@ -224,8 +224,8 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
                               interpret: bool = False):
     from ..interp import wide64
     from .pallas import (_group_params, _io_dtype, _is_half, _param_ops,
-                         _read_params, _shift_all, _to_io, _wide_planes_in,
-                         f16_bits_decode, f16_bits_encode)
+                         _read_params, _shift_all, _store_output, _to_io,
+                         _wide_planes_in, f16_bits_decode)
 
     rank = program.rank
     if rank == 2:
@@ -379,19 +379,7 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
                 vals[name] = store_cast(ctx, v, vt, t.type)
             for name, ref in zip(g.outputs, out_refs):
                 v = vals[name][rz_lo:rz_lo + bz, hy:hy + by]
-                ty = program.tensors[name].type
-                if isinstance(ref, tuple):  # wide: (lo, hi) plane refs
-                    lo, hi = wide64.unwrap_planes(
-                        ty, v.astype(ty.np_dtype()))
-                    ref[0][:] = lo.astype(ref[0].dtype)
-                    ref[1][:] = hi.astype(ref[1].dtype)
-                elif _is_half(program, name) and ref.dtype == jnp.uint16:
-                    raw = v.a if isinstance(v, wide64.W) else v
-                    ref[:] = f16_bits_encode(raw).astype(jnp.uint16)
-                elif wide and isinstance(v, wide64.W):
-                    ref[:] = v.astype(ref.dtype).a
-                else:
-                    ref[:] = v.astype(ref.dtype)
+                _store_output(program, name, ref, v)
 
         # carry update: new C = [i·bz - rz_lo, (i+1)·bz) of the y-extended
         # block stream; re-initialized at i == 0 for each fresh y block

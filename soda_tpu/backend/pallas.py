@@ -145,6 +145,29 @@ def _wide_planes_in(program: StencilProgram, name: str, v):
     return jnp.asarray(lo), jnp.asarray(hi)
 
 
+def _store_output(program: StencilProgram, name: str, ref, v) -> None:
+    """Write one output slab to its kernel ref(s) — the ONE copy of the
+    four-way store logic (review r3: per-site copies had drifted).  Wide
+    outputs get (lo, hi) plane-pair refs; `half` outputs f16-bit-encode
+    (checked BEFORE the wide unwrap: a half output in a wide program must
+    encode, not value-cast to uint16); W carriers into a narrow ref cast
+    then unwrap; everything else is a plain cast."""
+    from ..interp import wide64
+
+    ty = program.tensors[name].type
+    if isinstance(ref, tuple):  # wide output: (lo, hi) plane refs
+        lo, hi = wide64.unwrap_planes(ty, v.astype(ty.np_dtype()))
+        ref[0][:] = lo.astype(ref[0].dtype)
+        ref[1][:] = hi.astype(ref[1].dtype)
+    elif _is_half(program, name) and ref.dtype == jnp.uint16:
+        raw = v.a if isinstance(v, wide64.W) else v
+        ref[:] = f16_bits_encode(raw).astype(jnp.uint16)
+    elif isinstance(v, wide64.W):
+        ref[:] = v.astype(ref.dtype).a
+    else:
+        ref[:] = v.astype(ref.dtype)
+
+
 def _to_wide(values: Mapping, type_of) -> dict:
     """Host boundary for wide programs: split 64-bit numpy values into W
     pair carriers of jnp planes (W values pass through; the value coerces
@@ -368,20 +391,7 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
                     slice(-sp[d][0], -sp[d][0] + block[d])
                     for d in range(rank - 1)) + (slice(None),)
                 v = v[center]
-            ty = program.tensors[name].type
-            if isinstance(ref, tuple):  # wide output: (lo, hi) plane refs
-                lo, hi = wide64.unwrap_planes(ty, v.astype(ty.np_dtype()))
-                ref[0][:] = lo.astype(ref[0].dtype)
-                ref[1][:] = hi.astype(ref[1].dtype)
-            elif _is_half(program, name) and ref.dtype == jnp.uint16:
-                # check BEFORE the wide unwrap: a half output in a wide
-                # program must f16-encode, not value-cast to uint16
-                raw = v.a if wide else v
-                ref[:] = f16_bits_encode(raw).astype(jnp.uint16)
-            elif wide:
-                ref[:] = v.astype(ref.dtype).a
-            else:
-                ref[:] = v.astype(ref.dtype)
+            _store_output(program, name, ref, v)
     elif g.trapezoid:
         # trapezoid fused sweeps: Python-unrolled with exact SHRINKING
         # extents — sweep s (m = sweeps-1-s remaining) computes only
@@ -455,20 +465,7 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
                         sweep_vals[out_name].astype(
                             _compute_dtype(program, fb)))
             origins[fb] = stage_o[out_name]
-        if isinstance(out_refs[0], tuple):  # wide output: plane refs
-            ty = program.tensors[out_name].type
-            lo, hi = wide64.unwrap_planes(
-                ty, vals[fb].astype(ty.np_dtype()))
-            out_refs[0][0][:] = lo.astype(out_refs[0][0].dtype)
-            out_refs[0][1][:] = hi.astype(out_refs[0][1].dtype)
-        elif (_is_half(program, out_name)
-              and out_refs[0].dtype == jnp.uint16):
-            raw = vals[fb].a if wide else vals[fb]
-            out_refs[0][:] = f16_bits_encode(raw).astype(jnp.uint16)
-        elif wide:
-            out_refs[0][:] = vals[fb].astype(out_refs[0].dtype).a
-        else:
-            out_refs[0][:] = vals[fb].astype(out_refs[0].dtype)
+        _store_output(program, out_name, out_refs[0], vals[fb])
     else:
         # constant-extent fused sweeps: zero-fill taps; invalid values
         # creep one sweep-span inward per sweep, staying inside the halo.
@@ -520,19 +517,7 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
         center = tuple(
             slice(h[d][0], h[d][0] + block[d]) for d in range(rank - 1)
         ) + (slice(None),)
-        ty = program.tensors[out_name].type
-        if isinstance(out_refs[0], tuple):  # wide output: plane refs
-            lo, hi = wide64.unwrap_planes(ty, a[center].astype(ty.np_dtype()))
-            out_refs[0][0][:] = lo.astype(out_refs[0][0].dtype)
-            out_refs[0][1][:] = hi.astype(out_refs[0][1].dtype)
-        elif (_is_half(program, out_name)
-                and out_refs[0].dtype == jnp.uint16):
-            raw = a[center].a if wide else a[center]
-            out_refs[0][:] = f16_bits_encode(raw).astype(jnp.uint16)
-        elif wide:
-            out_refs[0][:] = a[center].astype(out_refs[0].dtype).a
-        else:
-            out_refs[0][:] = a[center].astype(out_refs[0].dtype)
+        _store_output(program, out_name, out_refs[0], a[center])
 
 
 def _build_kernel(program: StencilProgram, g: GroupPlan):
@@ -967,9 +952,7 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
     X = grid_shape[-1]
     kernel = _build_kernel(program, g)
 
-    def _plane_dtype(name):
-        t = program.tensors[name].type
-        return jnp.float32 if t.is_float else jnp.uint32
+    from ._linebuffer import _plane_dtype
 
     in_specs = []
     for name in g.external_inputs:
@@ -1008,7 +991,7 @@ def build_group_fn(program: StencilProgram, g: GroupPlan,
                                           memory_space=pltpu.VMEM))
             out_shapes.append(jax.ShapeDtypeStruct(
                 rounded,
-                _plane_dtype(o) if w else _io_dtype(program, o)))
+                _plane_dtype(program, o) if w else _io_dtype(program, o)))
 
     call = pl.pallas_call(
         kernel,

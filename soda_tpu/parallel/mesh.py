@@ -220,12 +220,16 @@ def build_sharded_fn(
     iterate: int | None = None,
     sweeps_per_exchange: int | Mapping[str, int] | None = None,
     local_backend: str = "xla",
-    interpret: bool = False,
+    interpret: bool | str = False,
     grid_shape: tuple[int, ...] | None = None,
     overlap: bool = False,
     link_classes: Mapping[str, str] | None = None,
 ):
     """Build fn(inputs, params) -> outputs, sharded over `mesh`.
+
+    `interpret` is forwarded to the Pallas local backend: False/True force
+    compiled/interpreter mode; "auto" (the CLI default) interprets only on
+    non-TPU hosts.  The xla local backend ignores it.
 
     `dims[k]` is the tensor dim sharded over mesh axis k (default: leading
     dims).  Per exchange, halo width = sweeps_per_exchange × per-sweep span
@@ -749,7 +753,7 @@ def run_sharded(
     iterate: int | None = None,
     sweeps_per_exchange: int | Mapping[str, int] | None = None,
     local_backend: str = "xla",
-    interpret: bool = False,
+    interpret: bool | str = False,
     overlap: bool = False,
     jit: bool = True,
     link_classes: Mapping[str, str] | None = None,
