@@ -73,7 +73,19 @@ def gen(rng: random.Random) -> tuple[str, str, bool]:
                 return f"{r} / ({d} * {d} + 1.0)"
             if k < 0.64:
                 return f"sqrt(abs({r}))"
-            if k < 0.7 and base == "double":
+            if k < 0.72:
+                # round-3 C-math surface: domains kept safe via
+                # tanh/square-plus-one so errors stay at DS/f16 scale
+                d = f"{src}({off()})"
+                return rng.choice([
+                    f"atan({r})", f"asin(tanh({r}))",
+                    f"log1p({r} * {r})", f"expm1(tanh({r}))",
+                    f"hypot({r}, {d})",
+                    f"atan2({r}, {d} * {d} + 1.0)",
+                    f"copysign({r}, {d})", f"sinh(tanh({r}))",
+                    f"log10({r} * {r} + 1.0)",
+                ])
+            if k < 0.78 and base == "double":
                 return f"double(int64({r}))"  # f64 -> i64 -> f64
             return r
         if k < 0.15:

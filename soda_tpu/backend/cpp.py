@@ -247,6 +247,10 @@ class _Gen:
                 t = pr(args[0][1], F32)
                 one = "1.0" if t.width == 64 else "1.0f"
                 return f"({one} / std::sqrt({self._coerce(args[0][0], args[0][1], t)}))", t
+            if e.fn in ("atan2", "copysign", "hypot"):
+                t = pr(pr(args[0][1], args[1][1]), F32)
+                return (f"std::{e.fn}({self._coerce(args[0][0], args[0][1], t)}, "
+                        f"{self._coerce(args[1][0], args[1][1], t)})", t)
             cpp = {"fabs": "std::fabs", "round": "std::round"}.get(
                 e.fn, f"std::{e.fn}")
             t = pr(args[0][1], F32)

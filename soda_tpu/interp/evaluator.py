@@ -169,7 +169,33 @@ _FLOAT_FNS = {
     "log": "log", "log2": "log2", "sin": "sin", "cos": "cos",
     "tan": "tan", "tanh": "tanh", "floor": "floor", "ceil": "ceil",
     "fabs": "abs",
+    # round-3 continuation C-math surface (names mapped to the np/jnp
+    # spelling; WideXP exposes matching DS-accurate methods)
+    "atan": "arctan", "asin": "arcsin", "acos": "arccos",
+    "sinh": "sinh", "cosh": "cosh", "log10": "log10",
+    "expm1": "expm1", "log1p": "log1p", "trunc": "trunc",
 }
+
+# two-arg float fns: both operands promoted to the common float type
+_FLOAT_FNS2 = {"atan2": "arctan2", "copysign": "copysign",
+               "hypot": "hypot"}
+
+# fns Mosaic cannot lower (hardware-probed): on f32 jnp paths these use
+# the composed implementations in interp/mathfns.py so the SAME formula
+# runs compiled-on-TPU and interpreted-on-CPU.  numpy (the oracle) keeps
+# native fns; f64 jnp (the CPU-only x64 XLA mode) keeps native fns; the
+# WideXP shim routes through its own methods (DS or composed).
+_MOSAIC_MISSING = {"atan", "asin", "acos", "atan2", "sinh", "cosh",
+                   "expm1"}
+
+
+def _use_composed(ctx: EvalContext, fn: str, t: ScalarType) -> bool:
+    import numpy as _np
+
+    xp = ctx.xp
+    return (fn in _MOSAIC_MISSING and xp is not _np
+            and not hasattr(xp, "base")  # WideXP dispatches itself
+            and t.width <= 32)
 
 
 def eval_expr(e: ir.Expr, ctx: EvalContext) -> tuple[Any, ScalarType]:
@@ -340,7 +366,20 @@ def eval_expr(e: ir.Expr, ctx: EvalContext) -> tuple[Any, ScalarType]:
         if e.fn in _FLOAT_FNS:
             t = promote(vals[0][1], FLOAT32)
             v = _coerce_to(ctx, *vals[0], t)
+            if _use_composed(ctx, e.fn, t):
+                from .mathfns import F32_IMPLS
+
+                return F32_IMPLS[e.fn](xp, v), t
             return getattr(xp, _FLOAT_FNS[e.fn])(v), t
+        if e.fn in _FLOAT_FNS2:
+            t = promote(promote(vals[0][1], vals[1][1]), FLOAT32)
+            a = _coerce_to(ctx, *vals[0], t)
+            b = _coerce_to(ctx, *vals[1], t)
+            if _use_composed(ctx, e.fn, t):
+                from .mathfns import F32_IMPLS2
+
+                return F32_IMPLS2[e.fn](xp, a, b), t
+            return getattr(xp, _FLOAT_FNS2[e.fn])(a, b), t
         raise ValueError(f"unknown function {e.fn}")
 
     raise TypeError(f"cannot evaluate {e!r}")

@@ -461,10 +461,21 @@ def _pair_floordiv(a: W, b: W) -> W:
 
 
 def _two_sum(xp, a, b):
+    """Error-free sum: s + err == a + b exactly.
+
+    Select-anchored Fast2Sum, NOT Knuth's branch-free form: XLA:CPU's
+    algebraic simplifier rewrites sub(add(a, b), a) -> b (observed this
+    round: two_sum(1.0, x) lost its error term under jit, degrading every
+    downstream DS value to f32 accuracy), which is exactly Knuth's
+    `bb = s - a` step.  Routing the anchor through a where() blocks the
+    pattern match, and Fast2Sum is exact whenever |anchor| >= |other| —
+    guaranteed by the select."""
     s = a + b
-    bb = s - a
-    err = (a - (s - bb)) + (b - bb)
-    return s, err
+    aa = xp.abs(a)
+    ab = xp.abs(b)
+    big = xp.where(aa >= ab, a, b)
+    small = xp.where(aa >= ab, b, a)
+    return s, small - (s - big)
 
 
 def _split(xp, a):
@@ -487,9 +498,10 @@ def _ds_norm(xp, hi, lo):
 
 
 def _quick_two_sum(xp, a, b):
-    """two_sum when |a| >= |b| is guaranteed."""
-    s = a + b
-    return s, b - (s - a)
+    """two_sum when |a| >= |b| is guaranteed.  Uses the same select-
+    anchored form as _two_sum: the classic `b - (s - a)` is the exact
+    sub(add(a, b), a) shape XLA:CPU's simplifier deletes (see _two_sum)."""
+    return _two_sum(xp, a, b)
 
 
 def _ds_add(a: W, b: W) -> W:
@@ -524,10 +536,11 @@ def _ds_div(a: W, b: W) -> W:
     r = _ds_add(a, W("d", -p, -(e + b.b * q1), xp))
     q2 = (r.a + r.b) / b.a
     hi, lo = _ds_norm(xp, q1, q2)
-    # x/0 guard (ADVICE r2): the refinement turns q1=±inf into NaN via
-    # 0*inf; IEEE semantics want sign-correct ±inf (and 0/0 -> NaN) —
-    # exactly what the f32 head division already produced
-    dz = b.a == 0.0
+    # x/0 and x/inf guard (ADVICE r2, extended r3): the refinement turns
+    # q1=±inf into NaN via 0*inf (and q1=±0 for infinite b into NaN via
+    # inf*0 in two_prod); IEEE semantics want the sign-correct ±inf / ±0
+    # the f32 head division already produced
+    dz = (b.a == 0.0) | xp.isinf(b.a)
     return W("d", xp.where(dz, q1, hi),
              xp.where(dz, xp.zeros_like(lo), lo), xp)
 
@@ -738,6 +751,234 @@ def _ds_tanh(a: W) -> W:
     big = a.a > np.float32(20.0)
     return W("d", xp.where(big, xp.ones_like(v.a), v.a),
              xp.where(big, xp.zeros_like(v.b), v.b), xp)
+
+
+def _ds_abs(a: W) -> W:
+    """|a| in DS, signbit-aware so abs(-0) = +0 (normalized DS pairs have
+    lo = 0 whenever hi = ±0, so flipping both limbs on signbit is exact)."""
+    xp = a.xp
+    neg = xp.signbit(a.a)
+    return _pair_select(xp, neg, _ds_neg(a), a)
+
+
+def _ds_flip_sign(a: W, flip) -> W:
+    return _pair_select(a.xp, flip, _ds_neg(a), a)
+
+
+def _ds_const(xp, v: float) -> W:
+    """DS constant from a python float: hi = f32(v), lo = f32(v - hi)."""
+    hi = np.float32(v)
+    lo = np.float32(float(np.float64(v) - np.float64(hi)))
+    return W("d", xp.asarray(hi), xp.asarray(lo), xp)
+
+
+def _ds_expm1(a: W) -> W:
+    """expm1 in double-single, full RELATIVE accuracy down to tiny x:
+    |x| < 0.5 reuses the exp Taylor WITHOUT the leading 1 (the series'
+    leading term is x itself, so no cancellation); larger |x| pays the
+    benign exp(x) - 1 cancellation (bounded by a factor ~2)."""
+    xp = a.xp
+    acc = W.ds_from_float(_EXP_COEF[0], xp)
+    for c in _EXP_COEF[1:]:  # ends at 1/1!: acc*x = x + x^2/2! + ...
+        acc = _ds_add(_ds_mul(acc, a), W.ds_from_float(c, xp))
+    small = _ds_mul(acc, a)
+    big = _ds_add(_ds_exp(a), W.ds_from_float(-1.0, xp))
+    return _pair_select(xp, xp.abs(a.a) < np.float32(0.5), small, big)
+
+
+def _ds_scale_pow2(a: W, s: float) -> W:
+    """Multiply a DS value by an exact power of two LIMB-WISE — _ds_mul's
+    Dekker split overflows f32 for |hi| > ~8e34 (SPLIT*hi = inf), which a
+    plain per-limb scale avoids (power-of-two scaling is error-free)."""
+    xp = a.xp
+    s32 = np.float32(s)
+    return W("d", a.a * s32, a.b * s32, xp)
+
+
+def _ds_log1p(a: W) -> W:
+    """log1p in double-single.  |x| >= 0.25: DS log of the two_sum pair.
+    Smaller |x|: the pair (1, x) only carries x to SINGLE precision (lo
+    is one f32), so go direct — atanh series on t = x/(2+x), which keeps
+    x's full DS relative precision (same series as _ds_log)."""
+    xp = a.xp
+    one = W.ds_from_float(1.0, xp)
+    big = _ds_log(_ds_add(one, a))
+    t = _ds_div(a, _ds_add(W.ds_from_float(2.0, xp), a))
+    t2 = _ds_mul(t, t)
+    acc = W.ds_from_float(1.0 / 15.0, xp)
+    for c in (13.0, 11.0, 9.0, 7.0, 5.0, 3.0):
+        acc = _ds_add(_ds_mul(acc, t2), W.ds_from_float(1.0 / c, xp))
+    small = _ds_scale_pow2(
+        _ds_mul(t, _ds_add(_ds_mul(acc, t2), one)), 2.0)
+    return _pair_select(xp, xp.abs(a.a) < np.float32(0.25), small, big)
+
+
+def _ds_sinh(a: W) -> W:
+    """sinh via DS expm1 (cancellation-free at small x):
+    e^x - e^-x = em + em/(em+1) where em = expm1(x)."""
+    xp = a.xp
+    # compute on |x| and flip: for x < -1 the pair em = (-1, e^x) only
+    # carries e^x to single precision, polluting the dominant em/(em+1)
+    # term; on |x| both terms keep full DS relative precision
+    az = _ds_abs(a)
+    em = _ds_expm1(az)
+    den = _ds_add(em, W.ds_from_float(1.0, xp))
+    v = _ds_scale_pow2(_ds_add(em, _ds_div(em, den)), 0.5)
+    # |x| > 30: e^{-|x|} < 9e-27 is invisible at DS precision, and the
+    # em/(em+1) division's Dekker split would overflow f32 past e^~80 —
+    # use e^{|x|}/2 with limb-wise scaling (inf-clean: _ds_exp saturates
+    # to (inf, 0) itself)
+    halfexp = _ds_scale_pow2(_ds_exp(az), 0.5)
+    v = _pair_select(xp, az.a > np.float32(30.0), halfexp, v)
+    return _ds_flip_sign(v, xp.signbit(a.a))
+
+
+def _ds_cosh(a: W) -> W:
+    """cosh = (t + 1/t)/2 with t = e^{|x|} (no cancellation; t >= 1)."""
+    xp = a.xp
+    t = _ds_exp(_ds_abs(a))
+    one = W.ds_from_float(1.0, xp)
+    v = _ds_scale_pow2(_ds_add(t, _ds_div(one, t)), 0.5)
+    # |x| > 30: drop the e^{-|x|} term (< 9e-27 relative; the 1/t
+    # division's Dekker split would overflow f32 past e^~80)
+    halfexp = _ds_scale_pow2(t, 0.5)
+    return _pair_select(xp, xp.abs(a.a) > np.float32(30.0), halfexp, v)
+
+
+def _ds_log10(a: W) -> W:
+    return _ds_mul(_ds_log(a), _ds_const(a.xp, 1.0 / float(np.log(10.0))))
+
+
+# atan Taylor coefficients (-1)^k/(2k+1), k = 10..1; the constant 1 term
+# is applied in Horner's last step.  After two half-angle reductions the
+# series argument is <= tan(pi/8)/~2.08 ~= 0.199, so the truncated k=11
+# term is ~1e-16 relative — below DS precision.
+_ATAN_COEF = [1.0 / 21.0, -1.0 / 19.0, 1.0 / 17.0, -1.0 / 15.0,
+              1.0 / 13.0, -1.0 / 11.0, 1.0 / 9.0, -1.0 / 7.0,
+              1.0 / 5.0, -1.0 / 3.0]
+
+
+def _ds_atan(a: W) -> W:
+    """atan in double-single: reduce |x| <= 1 via the reciprocal identity,
+    two half-angle steps z <- z/(1 + sqrt(1+z^2)), degree-21 Taylor, undo
+    (x4, pi/2 complement, sign).  +-inf lands on the reciprocal branch as
+    z = 0 -> +-pi/2 exactly; NaN propagates through the seed compare."""
+    xp = a.xp
+    one = W.ds_from_float(1.0, xp)
+    az = _ds_abs(a)
+    inv = az.a > np.float32(1.0)
+    rec = _ds_div(one, az)
+    z = _pair_select(xp, inv, rec, az)
+    for _ in range(2):
+        z = _ds_div(z, _ds_add(one, _ds_sqrt(_ds_add(one, _ds_mul(z, z)))))
+    z2 = _ds_mul(z, z)
+    acc = W.ds_from_float(_ATAN_COEF[0], xp)
+    for c in _ATAN_COEF[1:]:
+        acc = _ds_add(_ds_mul(acc, z2), W.ds_from_float(c, xp))
+    r = _ds_mul(z, _ds_add(_ds_mul(acc, z2), one))
+    r = _ds_mul(r, W.ds_from_float(4.0, xp))
+    comp = _ds_add(_ds_const(xp, _PIO2), _ds_neg(r))
+    res = _pair_select(xp, inv, comp, r)
+    return _ds_flip_sign(res, xp.signbit(a.a))
+
+
+def _ds_asin_newton(y: W) -> W:
+    """One DS Newton step on sin(t) = y from the f32 arcsin seed; the
+    caller guarantees |y| <~ 0.72 so cos(t) >= ~0.69 (well-conditioned:
+    residual error ~ seed_err^2 * tan(t) ~ 1e-14)."""
+    from . import mathfns
+
+    xp = y.xp
+    # composed f32 asin seed: Mosaic has no native arcsin lowering
+    t0 = mathfns.f32_asin(xp, xp.minimum(xp.maximum(
+        y.a + y.b, np.float32(-1.0)), np.float32(1.0)))
+    T0 = W("d", t0, xp.zeros_like(t0), xp)
+    s, c = _ds_sincos(T0)
+    return _ds_add(T0, _ds_div(_ds_add(y, _ds_neg(s)), c))
+
+
+def _ds_asin(a: W) -> W:
+    """asin in double-single: Newton-on-sin for |x| <= 0.7; the
+    complementary identity asin(x) = pi/2 - asin(sqrt((1-x)(1+x))) near
+    +-1 (the complement w <= 0.72 lands on the Newton branch).  |x| > 1
+    gives NaN via the negative radicand."""
+    xp = a.xp
+    one = W.ds_from_float(1.0, xp)
+    az = _ds_abs(a)
+    r_small = _ds_asin_newton(az)
+    w = _ds_sqrt(_ds_mul(_ds_add(one, _ds_neg(az)), _ds_add(one, az)))
+    r_comp = _ds_add(_ds_const(xp, _PIO2), _ds_neg(_ds_asin_newton(w)))
+    res = _pair_select(xp, az.a > np.float32(0.7), r_comp, r_small)
+    # NaN for |x| > 1: the radicand is negative -> w = NaN on the
+    # complement branch (selected there); make it explicit for az.a > 1
+    nan = xp.asarray(np.float32(np.nan))
+    bad = az.a > np.float32(1.0)
+    res = W("d", xp.where(bad, nan, res.a),
+            xp.where(bad, xp.zeros_like(res.b), res.b), xp)
+    return _ds_flip_sign(res, xp.signbit(a.a))
+
+
+def _ds_acos(a: W) -> W:
+    """acos = pi/2 - asin in DS (DS adds are error-free transforms, so
+    the cancellation near x = 1 reconstructs asin's complement branch
+    exactly)."""
+    return _ds_add(_ds_const(a.xp, _PIO2), _ds_neg(_ds_asin(a)))
+
+
+def _ds_atan2(y: W, x: W) -> W:
+    """atan2 in double-single with IEEE quadrant/zero/inf fixups matching
+    numpy and C (atan2(+-0, -x) = +-pi, inf/inf quadrant diagonals)."""
+    xp = y.xp
+    q = _ds_atan(_ds_div(y, x))
+    pi_w = _ds_const(xp, float(np.pi))
+    sgn_y = xp.signbit(y.a)
+    adj = _ds_flip_sign(pi_w, sgn_y)
+    r = _pair_select(xp, xp.signbit(x.a), _ds_add(q, adj), q)
+    # x = +-0: +-pi/2 by the sign of y (y = 0 handled below)
+    pio2 = _ds_const(xp, _PIO2)
+    r = _pair_select(xp, x.a == 0.0, _ds_flip_sign(pio2, sgn_y), r)
+    # y = +-0: magnitude pi when x's SIGN BIT is set (x < 0 or -0), else 0
+    zero_mag = _pair_select(xp, xp.signbit(x.a), pi_w,
+                            W("d", xp.zeros_like(r.a),
+                              xp.zeros_like(r.b), xp))
+    r = _pair_select(xp, y.a == 0.0, _ds_flip_sign(zero_mag, sgn_y), r)
+    # inf/inf diagonals: +-pi/4 (x > 0) / +-3pi/4 (x < 0)
+    both_inf = xp.isinf(y.a) & xp.isinf(x.a)
+    diag = _pair_select(xp, xp.signbit(x.a),
+                        _ds_const(xp, 3.0 * float(np.pi) / 4.0),
+                        _ds_const(xp, float(np.pi) / 4.0))
+    r = _pair_select(xp, both_inf, _ds_flip_sign(diag, sgn_y), r)
+    return r
+
+
+def _ds_hypot(a: W, b: W) -> W:
+    """hypot in double-single: scale by m = max(|hi|) so the squares stay
+    in f32 range, sqrt(za^2 + zb^2) * m; 0 and inf fixups."""
+    xp = a.xp
+    m = xp.maximum(xp.abs(a.a), xp.abs(b.a))
+    # scale both by the EXACT power of two 2^-e (limb-wise — error-free,
+    # and immune to the Dekker-split f32 overflow a division by m would
+    # hit for m > ~8e34); operands land in [0.5, 2]
+    e = xp.floor(xp.log2(m))
+    e = xp.where(xp.isfinite(e), e, xp.zeros_like(e))
+    s1, s2 = _exp2_int(xp, -e)
+
+    def scale(v: W, f1, f2) -> W:
+        return W("d", (v.a * f1) * f2, (v.b * f1) * f2, xp)
+
+    za = scale(a, s1, s2)
+    zb = scale(b, s1, s2)
+    r = _ds_sqrt(_ds_add(_ds_mul(za, za), _ds_mul(zb, zb)))
+    t1, t2 = _exp2_int(xp, e)
+    res = scale(r, t1, t2)
+    zero = m == 0.0
+    inf = xp.isinf(a.a) | xp.isinf(b.a)  # IEEE: hypot(inf, NaN) = inf
+    nan_in = (xp.isnan(a.a) | xp.isnan(b.a)) & ~inf
+    hi = xp.where(zero, xp.zeros_like(res.a), res.a)
+    hi = xp.where(inf, xp.asarray(np.float32(np.inf)), hi)
+    hi = xp.where(nan_in, xp.asarray(np.float32(np.nan)), hi)
+    lo = xp.where(zero | inf | nan_in, xp.zeros_like(res.b), res.b)
+    return W("d", hi, lo, xp)
 
 
 def _ds_lt(a: W, b: W):
@@ -1070,6 +1311,73 @@ class WideXP:
         if isinstance(a, W) and a.rep == "d":
             return _ds_tanh(a)
         return self._plain_fn("tanh", a)
+
+    # round-3 continuation C-math surface: DS-accurate single-arg fns
+    # (the __getattr__ f32 fallback would lose the lo limb).  rep-"p"
+    # (narrow f32) values use the COMPOSED implementations from
+    # interp/mathfns for the fns Mosaic cannot lower natively — same
+    # formula on compiled-TPU and interpret paths.
+
+    def _p_or_ds(self, a, ds_fn, composed):
+        from . import mathfns
+
+        if isinstance(a, W) and a.rep == "d":
+            return ds_fn(a)
+        v = a.a if isinstance(a, W) else a
+        return W.plain(getattr(mathfns, composed)(self.base, v), self.base)
+
+    def arctan(self, a):
+        return self._p_or_ds(a, _ds_atan, "f32_atan")
+
+    def arcsin(self, a):
+        return self._p_or_ds(a, _ds_asin, "f32_asin")
+
+    def arccos(self, a):
+        return self._p_or_ds(a, _ds_acos, "f32_acos")
+
+    def sinh(self, a):
+        return self._p_or_ds(a, _ds_sinh, "f32_sinh")
+
+    def cosh(self, a):
+        return self._p_or_ds(a, _ds_cosh, "f32_cosh")
+
+    def expm1(self, a):
+        return self._p_or_ds(a, _ds_expm1, "f32_expm1")
+
+    def log10(self, a):
+        if isinstance(a, W) and a.rep == "d":
+            return _ds_log10(a)
+        return self._plain_fn("log10", a)  # Mosaic lowers log10
+
+    def log1p(self, a):
+        if isinstance(a, W) and a.rep == "d":
+            return _ds_log1p(a)
+        return self._plain_fn("log1p", a)  # Mosaic lowers log1p
+
+    # two-arg fns: the __getattr__ fallback cannot lift the second W arg
+
+    def arctan2(self, a, b):
+        from . import mathfns
+
+        a2, b2 = a._lift(b)
+        if a2.rep == "d":
+            return _ds_atan2(a2, b2)
+        return W.plain(mathfns.f32_atan2(self.base, a2.a, b2.a), self.base)
+
+    def copysign(self, a, b):
+        a2, b2 = a._lift(b)
+        if a2.rep == "d":
+            # exact: flip both limbs when the sign bits differ; hi via
+            # the native copysign so +-0 magnitudes keep b's sign
+            flip = self.base.signbit(a2.a) != self.base.signbit(b2.a)
+            return _ds_flip_sign(a2, flip)
+        return W.plain(self.base.copysign(a2.a, b2.a), self.base)
+
+    def hypot(self, a, b):
+        a2, b2 = a._lift(b)
+        if a2.rep == "d":
+            return _ds_hypot(a2, b2)
+        return W.plain(self.base.hypot(a2.a, b2.a), self.base)
 
     def power(self, a, b):
         if a.rep == "d" or (isinstance(b, W) and b.rep == "d"):

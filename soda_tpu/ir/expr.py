@@ -137,6 +137,10 @@ MATH_FNS = {
     "min", "max", "abs", "sqrt", "rsqrt", "exp", "exp2", "log", "log2",
     "sin", "cos", "tan", "tanh", "pow", "floor", "ceil", "round", "fabs",
     "fmin", "fmax",
+    # round-3 continuation: the rest of the C-math surface the reference's
+    # printer passes straight through to libm (SURVEY.md §2.4)
+    "atan", "atan2", "asin", "acos", "sinh", "cosh", "log10", "expm1",
+    "log1p", "trunc", "copysign", "hypot",
 }
 
 

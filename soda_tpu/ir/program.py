@@ -245,7 +245,8 @@ class StencilProgram:
         gated at ulp tolerance instead of bit-exact.  sqrt/rsqrt stay
         bit-exact (IEEE-correct in both)."""
         libm = {"exp", "exp2", "log", "log2", "sin", "cos", "tan",
-                "tanh", "pow"}
+                "tanh", "pow", "atan", "atan2", "asin", "acos", "sinh",
+                "cosh", "log10", "expm1", "log1p", "hypot"}
         for t in self.tensors.values():
             if t.expr is None:
                 continue
@@ -253,6 +254,16 @@ class StencilProgram:
                 if isinstance(n, ir.Call) and n.fn in libm:
                     return True
         return False
+
+    def max_float_width(self) -> int:
+        """Widest float width (16/32/64) among tensors and params; 32 when
+        the program is integer-only.  Sets the ulp scale for the libm
+        C++ == NumPy oracle gate (see uses_libm_transcendentals)."""
+        widths = [t.type.width for t in self.tensors.values()
+                  if t.type.is_float]
+        widths += [p.type.width for p in self.params.values()
+                   if p.type.is_float]
+        return max(widths, default=32)
 
     def valid_rim(self, iterate: int | None = None) -> int:
         """Width of the border-invalid rim (`border: ignore`): cumulative
@@ -288,7 +299,10 @@ class StencilProgram:
             return promote(self.infer_type(e.lhs), self.infer_type(e.rhs))
         if isinstance(e, ir.Call):
             if e.fn in ("sqrt", "rsqrt", "exp", "exp2", "log", "log2", "sin",
-                        "cos", "tan", "tanh", "pow", "fmin", "fmax", "fabs"):
+                        "cos", "tan", "tanh", "pow", "fmin", "fmax", "fabs",
+                        "atan", "atan2", "asin", "acos", "sinh", "cosh",
+                        "log10", "expm1", "log1p", "trunc", "copysign",
+                        "hypot"):
                 ts = [self.infer_type(a) for a in e.args]
                 t = ts[0]
                 for u in ts[1:]:

@@ -640,3 +640,110 @@ def test_rank4_wide_bit_exact():
     gold = numpy_interp.run(p, {"a": x})["b"]
     got = pb.run(p, {"a": x}, interpret=True)["b"]
     assert np.array_equal(gold, got)
+
+
+def test_ds_cmath_surface_accuracy():
+    """Round-3 continuation: atan/asin/acos/atan2/sinh/cosh/log10/expm1/
+    log1p/hypot/copysign are DS-accurate (~1e-12 vs the f64 oracle);
+    trunc stays exact.  Includes the small-argument regimes where naive
+    formulations lose relative precision (expm1/log1p/sinh near 0)."""
+    xp = WideXP(np)
+
+    def ds(v):
+        lo, hi = split_planes(np.asarray(v, np.float64))
+        return W("d", hi, lo, np)
+
+    def err(w, want):
+        got = merge_planes(w.b, w.a, np.float64)
+        return np.max(np.abs(got - want) / np.maximum(np.abs(want), 1e-300))
+
+    r = np.random.default_rng(11)
+    x = np.concatenate([r.standard_normal(4000),
+                        r.standard_normal(4000) * 1e-9,
+                        r.standard_normal(2000) * 1e7,
+                        r.uniform(-85, 85, 2000)])
+    inr = np.clip(r.standard_normal(4000), -1.0, 1.0)
+    pos = np.abs(x) + 1e-12
+    with np.errstate(all="ignore"):
+        assert err(xp.arctan(ds(x)), np.arctan(x)) < 1e-10
+        assert err(xp.arcsin(ds(inr)), np.arcsin(inr)) < 1e-10
+        # acos near 1 is absolutely (not relatively) conditioned
+        w_ = xp.arccos(ds(inr))
+        assert np.max(np.abs(merge_planes(w_.b, w_.a, np.float64)
+                             - np.arccos(inr))) < 1e-12
+        xs = x[np.abs(x) < 88.5]
+        assert err(xp.sinh(ds(xs)), np.sinh(xs)) < 1e-10
+        assert err(xp.cosh(ds(xs)), np.cosh(xs)) < 1e-10
+        assert err(xp.log10(ds(pos)), np.log10(pos)) < 1e-10
+        assert err(xp.expm1(ds(xs)), np.expm1(xs)) < 1e-10
+        lp = x[x > -1]
+        assert err(xp.log1p(ds(lp)), np.log1p(lp)) < 1e-10
+        y2, x2 = r.standard_normal(4000) * 10, r.standard_normal(4000) * 10
+        a2 = xp.arctan2(ds(y2), ds(x2))
+        assert np.max(np.abs(merge_planes(a2.b, a2.a, np.float64)
+                             - np.arctan2(y2, x2))) < 1e-12
+        assert err(xp.hypot(ds(y2), ds(x2)), np.hypot(y2, x2)) < 1e-12
+        # copysign is exact ON THE PAIR; the 2^-48 gap is the DS split of
+        # the f64 input itself
+        assert err(xp.copysign(ds(y2), ds(x2)), np.copysign(y2, x2)) < 1e-13
+        t = xp.trunc(ds(y2))
+        assert np.array_equal(merge_planes(t.b, t.a, np.float64),
+                              np.trunc(y2))
+
+
+def test_ds_cmath_specials():
+    """IEEE edge semantics of the new DS fns match numpy: atan(+-inf) =
+    +-pi/2, atan2 zero/inf quadrants, hypot(inf, nan) = inf, asin out of
+    domain = NaN, copysign on -0."""
+    xp = WideXP(np)
+
+    def ds(v):
+        lo, hi = split_planes(np.asarray(v, np.float64))
+        return W("d", hi, lo, np)
+
+    def out(w):
+        return merge_planes(w.b, w.a, np.float64)
+
+    with np.errstate(all="ignore"):
+        assert np.allclose(out(xp.arctan(ds(np.array([np.inf, -np.inf])))),
+                           [np.pi / 2, -np.pi / 2], rtol=1e-14)
+        y = np.array([0.0, 0.0, -0.0, -0.0, np.inf, np.inf, -np.inf])
+        xv = np.array([1.0, -1.0, -1.0, 1.0, np.inf, -np.inf, np.inf])
+        got = out(xp.arctan2(ds(y), ds(xv)))
+        want = np.arctan2(y, xv)
+        assert np.allclose(got, want, rtol=1e-14)
+        assert np.array_equal(np.signbit(got), np.signbit(want))
+        assert out(xp.hypot(ds(np.array([np.inf])),
+                            ds(np.array([np.nan]))))[0] == np.inf
+        assert np.isnan(out(xp.arcsin(ds(np.array([1.5, -1.5]))))).all()
+        cs = out(xp.copysign(ds(np.array([3.0, -3.0])),
+                             ds(np.array([-0.0, 0.0]))))
+        assert np.array_equal(cs, [-3.0, 3.0])
+        assert np.isnan(out(xp.arctan(ds(np.array([np.nan]))))).all()
+
+
+def test_ds_eft_survives_jit():
+    """XLA:CPU's algebraic simplifier rewrites sub(add(a, b), a) -> b,
+    which deleted Knuth two_sum's error term under jit (observed: DS
+    `const + x` degraded to f32 accuracy).  The select-anchored Fast2Sum
+    must keep full DS accuracy under jax.jit — this pins the whole wide
+    path's accuracy on the CPU/interpret backends."""
+    import jax
+
+    import jax.numpy as jnp
+
+    r = np.random.default_rng(3)
+    x = np.abs(r.standard_normal(256)) * 0.8 + 0.05
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+
+    def f(h, l):
+        z = W("d", h, l, jnp)
+        one = W.ds_from_float(1.0, jnp)
+        from soda_tpu.interp.wide64 import _ds_add, _ds_mul, _ds_sqrt
+        res = _ds_sqrt(_ds_add(one, _ds_mul(z, z)))
+        return res.a, res.b
+
+    a, b = jax.jit(f)(hi, lo)
+    got = np.asarray(a).astype(np.float64) + np.asarray(b).astype(np.float64)
+    assert np.abs(got - np.sqrt(1 + x * x)).max() < 1e-12
