@@ -1086,9 +1086,17 @@ def _lift_rank1(program: StencilProgram) -> StencilProgram:
 def build_fn(program: StencilProgram, the_plan: Plan | None = None,
              grid_shape: tuple[int, ...] | None = None,
              interpret: bool | str = "auto", iterate: int | None = None,
-             **plan_kwargs):
+             jit_per_group: bool | str = False, **plan_kwargs):
     """Build a jittable fn(inputs, params) -> outputs for the full program
-    (all groups, all temporal chunks) on a fixed grid shape."""
+    (all groups, all temporal chunks) on a fixed grid shape.
+
+    jit_per_group: "auto" jits each chained group SEPARATELY when running
+    interpret-mode with multiple groups (the returned fn then carries
+    `inner_jitted=True` and must NOT be wrapped in an outer jax.jit).
+    Workaround for an XLA:CPU executable-size execution pathology
+    (measured this round: a ~25k-eqn interpret executable runs in 0.1 s,
+    ~29k eqns takes >9 min at full CPU — value-independent; each group
+    alone is fine).  The TPU path keeps single-jit chaining."""
     interpret = _resolve_interpret(interpret)
     check_tpu_supported(program)
     if program.rank == 1:
@@ -1096,7 +1104,8 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
         if not base:
             raise ValueError("need grid_shape or a Plan")
         inner = build_fn(_lift_rank1(program), None, (1,) + base,
-                         interpret=interpret, iterate=iterate, **plan_kwargs)
+                         interpret=interpret, iterate=iterate,
+                         jit_per_group=jit_per_group, **plan_kwargs)
 
         from ..interp import wide64
         from ..interp.wide64 import program_is_wide
@@ -1120,6 +1129,7 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
                 # v[0] maps over W pair carriers (W.__getitem__)
                 return {k: v[0] for k, v in inner(ins2, params).items()}
 
+            fn1w.inner_jitted = getattr(inner, "inner_jitted", False)
             return fn1w
 
         def fn1(inputs: Mapping[str, jax.Array],
@@ -1127,6 +1137,7 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
             ins2 = {k: jnp.asarray(v)[None, :] for k, v in inputs.items()}
             return {k: v[0] for k, v in inner(ins2, params).items()}
 
+        fn1.inner_jitted = getattr(inner, "inner_jitted", False)
         return fn1
     it = max(program.iterate if iterate is None else iterate, 1)
     if the_plan is None:
@@ -1139,6 +1150,10 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
         build_group_fn(program, g, grid_shape, interpret=interpret)
         for g in the_plan.groups
     ]
+    if jit_per_group == "auto":
+        jit_per_group = interpret and len(the_plan.groups) > 1
+    if jit_per_group:
+        group_fns = [jax.jit(gf) for gf in group_fns]
     chunks = max(it // the_plan.groups[0].sweeps, 1) \
         if len(the_plan.groups) == 1 else 1
     in_name = program.input_names[0]
@@ -1158,6 +1173,7 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
             outs = {n: values[n] for n in program.output_names}
         return outs
 
+    fn.inner_jitted = bool(jit_per_group)
     return fn
 
 
@@ -1237,9 +1253,14 @@ def run(program: StencilProgram, inputs, params=None, *,
     if grid_shape is None:
         grid_shape = tuple(np.asarray(next(iter(inputs.values()))).shape)
     fn = build_fn(program, the_plan=the_plan, grid_shape=grid_shape,
-                  interpret=interpret, iterate=iterate, **kw)
+                  interpret=interpret, iterate=iterate,
+                  jit_per_group="auto", **kw)
     from ..interp.wide64 import program_is_wide
 
+    # inner_jitted: chained groups already carry their own per-group jit
+    # (interpret-mode XLA:CPU workaround, see build_fn) — wrapping the
+    # chain in an outer jit would rebuild the one-big-executable problem
+    outer_jit = jit and not getattr(fn, "inner_jitted", False)
     if program_is_wide(program):
         # wide programs are JITTABLE end-to-end: 64-bit inputs/params
         # split once into W pair carriers (a pytree of two 32-bit jnp
@@ -1247,11 +1268,11 @@ def run(program: StencilProgram, inputs, params=None, *,
         # and finalize_outputs merges the output planes on the host
         wins = to_wide_values(program, inputs)
         wpars = to_wide_params(program, params)
-        if jit:
+        if outer_jit:
             fn = jax.jit(fn)
         outs = fn(wins, wpars)
     else:
-        if jit:
+        if outer_jit:
             fn = jax.jit(fn)
         outs = fn({k: jnp.asarray(v) for k, v in inputs.items()}, params)
     return finalize_outputs(program, outs)

@@ -50,6 +50,20 @@ Span = tuple[tuple[int, int], ...]  # per-dim (lo, hi), lo <= 0 <= hi
 # when its modeled min(HBM, VPU) bound beats shallower divisors.
 TRAPEZOID_MAX_SWEEPS = 16
 
+# Compute-pressure split: when the weighted per-cell op count of a fused
+# group (utils/opcount: plain units for 32-bit programs, pair-carrier
+# units for wide ones) exceeds this budget, the stage DAG is split into
+# chained kernels through HBM even though VMEM would fit.  Giant single
+# kernels are toxic at BOTH ends of the pipeline: Mosaic compile time
+# grows superlinearly with kernel graph size (289 s observed for one DS
+# trig chain), and XLA:CPU execution of interpret-mode kernels falls off
+# a cliff (>5000x, measured this round: a ~25k-eqn grid-loop body runs
+# 0.1 s, a ~29k-eqn one >9 min — mathfn_f64 with three extra DS calls).
+# 600 pair-units ~= 10-15k jaxpr eqns per kernel, half the observed
+# cliff.  Single stages over budget still emit (expression splitting is
+# out of scope); deep-iterate programs cannot split (feedback loop).
+KERNEL_OP_BUDGET = 600.0
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -709,6 +723,7 @@ def plan(
     sweeps: int | None = None,
     block_override: tuple[int, ...] | None = None,
     updates_per_cell: int = 1,
+    kernel_op_budget: float = KERNEL_OP_BUDGET,
 ) -> Plan:
     """Build an execution plan for `program` on a full grid of `grid_shape`.
 
@@ -742,6 +757,18 @@ def plan(
             max_compute_waste=max_compute_waste, nf=nf,
             block_override=block_override, updates_per_cell=updates_per_cell,
             wide=wide)
+
+    # compute-pressure split decision (see KERNEL_OP_BUDGET): weighted
+    # per-cell op count per stage, in the units the program's path pays
+    # (pair-carrier units for wide programs)
+    from ..utils.opcount import expr_ops, expr_ops_wide
+
+    stage_w = {
+        s: (expr_ops_wide(program.tensors[s].expr, program) if wide
+            else expr_ops(program.tensors[s].expr))
+        for s in stages}
+    over_compute = (it == 1 and len(stages) > 1
+                    and sum(stage_w.values()) > kernel_op_budget)
 
     # 1) whole-program fusion at the requested sweep count, backing off
     #    sweeps on halo blowup (fused sweeps must divide iterate — a
@@ -809,7 +836,7 @@ def plan(
         else:
             g = None
     else:
-        g = whole(nf)
+        g = None if over_compute else whole(nf)
     while g is None and nf > 1:
         nf = max(1, nf // 2)
         while it % nf != 0:
@@ -842,11 +869,15 @@ def plan(
     cur_plan: GroupPlan | None = None
     for s in stages:
         trial = cur + [s]
-        gp = _plan_group(
-            program, trial, grid_shape, vmem_budget=vmem_budget,
-            max_compute_waste=max_compute_waste, nf=1,
-            block_override=block_override, updates_per_cell=updates_per_cell,
-            wide=wide)
+        gp = None
+        # budget gate first: a trial over the op budget splits here even
+        # if VMEM would fit (single stages always emit)
+        if not (cur and sum(stage_w[t] for t in trial) > kernel_op_budget):
+            gp = _plan_group(
+                program, trial, grid_shape, vmem_budget=vmem_budget,
+                max_compute_waste=max_compute_waste, nf=1,
+                block_override=block_override,
+                updates_per_cell=updates_per_cell, wide=wide)
         if gp is not None:
             cur, cur_plan = trial, gp
             continue
@@ -868,8 +899,10 @@ def plan(
     if cur_plan is not None:
         groups.append(cur_plan)
     notes.append(
-        f"VMEM pressure: split {len(stages)} stages into {len(groups)} "
-        f"chained kernel groups")
+        f"{'compute' if over_compute else 'VMEM'} pressure: split "
+        f"{len(stages)} stages into {len(groups)} chained kernel groups"
+        + (f" (weighted ops {sum(stage_w.values()):.0f} > "
+           f"budget {kernel_op_budget:.0f}/kernel)" if over_compute else ""))
     return Plan(program.name, program.rank, groups, tuple(grid_shape), notes,
                 ideal_bytes_per_cell=ideal,
                 sweeps_total=it * updates_per_cell)

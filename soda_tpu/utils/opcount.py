@@ -17,7 +17,9 @@ from ..ir.program import StencilProgram
 
 TRANSCENDENTAL_WEIGHT = 8.0
 _TRANSCENDENTALS = {"sqrt", "rsqrt", "exp", "exp2", "log", "log2", "sin",
-                    "cos", "tan", "tanh", "pow"}
+                    "cos", "tan", "tanh", "pow", "atan", "atan2", "asin",
+                    "acos", "sinh", "cosh", "log10", "expm1", "log1p",
+                    "hypot"}
 
 # v5e VPU estimate: 8×128 lanes × 4 ALUs × ~0.94 GHz ≈ 3.85 Top/s f32.
 # An ESTIMATE for reporting only (public per-part VPU numbers are not
