@@ -27,6 +27,21 @@ from jax.experimental.pallas import tpu as pltpu
 from ..interp.evaluator import EvalContext, eval_expr, store_cast
 from ..ir.program import StencilProgram
 from ..plan.planner import GroupPlan
+from ..utils.config import lb_ep_eligible, lb_engine
+
+
+def _ensure_pipeline_cpu_compat():
+    """pltpu.emit_pipeline consults the TPU generation for buffer tiling;
+    under CPU interpret (and on proxied devices whose device_kind the
+    table does not know) get_tpu_info() raises — patch the lookup to
+    v5-class behavior.  The value only affects the minimum second-minor
+    buffer tiling (pipeline._make_tiling), not semantics."""
+    import jax._src.pallas.mosaic.pipeline as _pipe
+
+    try:
+        _pipe._get_tpu_generation()
+    except Exception:
+        _pipe._get_tpu_generation = lambda: 5
 
 
 # ---- shared pair-carrier plumbing (2-D and 3-D builders) -------------------
@@ -117,24 +132,11 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
     rlo8 = max(g.halo[i][0][0] for i in g.external_inputs)
     rhi8 = max(g.halo[i][0][1] for i in g.external_inputs)
 
-    in_specs = []
-    for _name, _pl in in_ops_index:
-        def imap(i):
-            return (pl.multiple_of(jnp.minimum(i, G - 1) * bh, 8), 0)
+    use_ep = lb_engine() == "ep"
 
-        in_specs.append(pl.BlockSpec(
-            (pl.Element(bh), pl.Element(W)), imap,
-            memory_space=pltpu.VMEM))
-    for _ in range(n_par_ops):
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-
-    out_specs = []
     out_shapes = []
     for o, w in zip(g.outputs, out_wide):
         for _ in range(2 if w else 1):
-            out_specs.append(pl.BlockSpec(
-                (bh, W), lambda i: (jnp.maximum(i - 1, 0), 0),
-                memory_space=pltpu.VMEM))
             out_shapes.append(jax.ShapeDtypeStruct(
                 (H, W), _op_dtype(program, o)))
     n_out_ops = len(out_shapes)
@@ -189,19 +191,90 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
                 carry_refs[k][:] = (jnp.concatenate([old[bh:], b], axis=0)
                                     if rlo8 else b)
 
-    call = pl.pallas_call(
-        kernel,
-        grid=(G + 1,),
-        in_specs=in_specs,
-        out_specs=out_specs[0] if len(out_specs) == 1 else tuple(out_specs),
-        out_shape=out_shapes[0] if len(out_shapes) == 1 else tuple(out_shapes),
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=128 * 2**20,
-        ),
-        interpret=interpret,
-    )
+    if use_ep:
+        # emit_pipeline march: the final flush step (i == G) revisits
+        # block G-1, and the pipeline's copy-in is predicated on the
+        # block index CHANGING (see utils/config.py lb_engine docs), so
+        # the re-fetch is elided — exactly one HBM read per cell.
+        _ensure_pipeline_cpu_compat()
+        n_hbm = n_in_ops
+
+        pipe_in_specs = [
+            pl.BlockSpec((bh, W), lambda i: (jnp.minimum(i, G - 1), 0))
+            for _ in in_ops_index]
+        pipe_out_specs = [
+            pl.BlockSpec((bh, W), lambda i: (jnp.maximum(i - 1, 0), 0))
+            for _ in range(n_out_ops)]
+
+        def outer(*refs):
+            hbm_in = refs[:n_hbm]
+            par_refs = refs[n_hbm:n_hbm + n_par_ops]
+            hbm_out = refs[n_hbm + n_par_ops:n_hbm + n_par_ops + n_out_ops]
+            carry_refs = refs[n_hbm + n_par_ops + n_out_ops:]
+
+            # clip to the aligned core (see the 3-D builder): block
+            # indices never leave it, and partial-last-block slices for
+            # the hybrid rim rows would break the pipeline's even tiling
+            def clip(r):
+                return r.at[:Hc] if Hc != H else r
+
+            def body(*pipe_refs):
+                kernel(*pipe_refs[:n_hbm], *par_refs,
+                       *pipe_refs[n_hbm:], *carry_refs)
+
+            pltpu.emit_pipeline(
+                body, grid=(G + 1,),
+                in_specs=pipe_in_specs, out_specs=pipe_out_specs,
+            )(*[clip(r) for r in hbm_in], *[clip(r) for r in hbm_out])
+
+        call = pl.pallas_call(
+            outer,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_hbm
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_par_ops,
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY)
+                       if n_out_ops == 1 else
+                       tuple(pl.BlockSpec(memory_space=pl.ANY)
+                             for _ in range(n_out_ops))),
+            out_shape=(out_shapes[0] if len(out_shapes) == 1
+                       else tuple(out_shapes)),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 2**20,
+            ),
+            interpret=interpret,
+        )
+    else:
+        in_specs = []
+        for _name, _pl in in_ops_index:
+            def imap(i):
+                return (pl.multiple_of(jnp.minimum(i, G - 1) * bh, 8), 0)
+
+            in_specs.append(pl.BlockSpec(
+                (pl.Element(bh), pl.Element(W)), imap,
+                memory_space=pltpu.VMEM))
+        for _ in range(n_par_ops):
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+        out_specs = [
+            pl.BlockSpec((bh, W), lambda i: (jnp.maximum(i - 1, 0), 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_out_ops)]
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(G + 1,),
+            in_specs=in_specs,
+            out_specs=(out_specs[0] if len(out_specs) == 1
+                       else tuple(out_specs)),
+            out_shape=(out_shapes[0] if len(out_shapes) == 1
+                       else tuple(out_shapes)),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=128 * 2**20,
+            ),
+            interpret=interpret,
+        )
 
     def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
         ops = []
@@ -268,33 +341,11 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
     carry_index = [(n, pl_i) for n in g.external_inputs
                    for pl_i in range(2 if wide_in[n] else 1)]
 
-    in_specs = []
-    for _name, kind, _pl in in_ops_index:
-        w = {0: by, -1: hy, 1: hy}[kind]
+    use_ep = lb_engine() == "ep" and lb_ep_eligible(hy, by)
 
-        def imap(j, i, _kind=kind):
-            z = pl.multiple_of(jnp.minimum(i, Gz - 1) * bz, 8)
-            if _kind == 0:
-                y = j * by
-            elif _kind == -1:
-                y = pl.multiple_of(jnp.maximum(j * by - hy, 0), 8)
-            else:
-                y = pl.multiple_of(jnp.minimum((j + 1) * by, Yc - hy), 8)
-            return (z, y, 0)
-
-        in_specs.append(pl.BlockSpec(
-            (pl.Element(bz), pl.Element(w), pl.Element(X)),
-            imap, memory_space=pltpu.VMEM))
-    for _ in range(n_par_ops):
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-
-    out_specs = []
     out_shapes = []
     for o, w_ in zip(g.outputs, out_wide):
         for _ in range(2 if w_ else 1):
-            out_specs.append(pl.BlockSpec(
-                (bz, by, X), lambda j, i: (jnp.maximum(i - 1, 0), j, 0),
-                memory_space=pltpu.VMEM))
             out_shapes.append(
                 jax.ShapeDtypeStruct((Z, Y, X), _op_dtype(program, o)))
     n_out_ops = len(out_shapes)
@@ -398,21 +449,127 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
                 carry_refs[k][:] = (jnp.concatenate([old[bz:], b], axis=0)
                                     if rz_lo else b)
 
-    call = pl.pallas_call(
-        kernel,
-        grid=(Gy, Gz + 1),
-        in_specs=in_specs,
-        out_specs=out_specs[0] if len(out_specs) == 1 else tuple(out_specs),
-        out_shape=out_shapes[0] if len(out_shapes) == 1 else tuple(out_shapes),
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=128 * 2**20,
-        ),
-        interpret=interpret,
-    )
+    if use_ep:
+        # emit_pipeline z-march: the final flush step (i == Gz) revisits
+        # z-block Gz-1 and the pipeline's copy-in fires only when the
+        # block index changes (see utils/config.py lb_engine docs), so
+        # the re-fetch is elided — one HBM read per cell.  The y-strip
+        # pieces address the SAME HBM ref through strip-granular
+        # BlockSpecs (hy | by, checked by lb_ep_eligible).
+        _ensure_pipeline_cpu_compat()
+        n_hbm = len(carry_index)
+        hbm_pos = {key: k for k, key in enumerate(carry_index)}
+        byu = by // hy if hy else 0          # y-strip blocks per center
+        y_hi_max = Yc // hy - 1 if hy else 0  # last in-core strip index
 
-    npieces = len(piece_kinds)
+        pipe_in_specs = []
+        for _name, kind, _pl in in_ops_index:
+            if kind == 0:
+                spec = pl.BlockSpec(
+                    (bz, by, X),
+                    lambda j, i: (jnp.minimum(i, Gz - 1), j, 0))
+            elif kind == -1:
+                spec = pl.BlockSpec(
+                    (bz, hy, X),
+                    lambda j, i: (jnp.minimum(i, Gz - 1),
+                                  jnp.maximum(j * byu - 1, 0), 0))
+            else:
+                spec = pl.BlockSpec(
+                    (bz, hy, X),
+                    lambda j, i: (jnp.minimum(i, Gz - 1),
+                                  jnp.minimum((j + 1) * byu, y_hi_max), 0))
+            pipe_in_specs.append(spec)
+        pipe_out_specs = [
+            pl.BlockSpec((bz, by, X),
+                         lambda j, i: (jnp.maximum(i - 1, 0), j, 0))
+            for _ in range(n_out_ops)]
+
+        def outer(*refs):
+            hbm_in = refs[:n_hbm]
+            par_refs = refs[n_hbm:n_hbm + n_par_ops]
+            hbm_out = refs[n_hbm + n_par_ops:n_hbm + n_par_ops + n_out_ops]
+            carry_refs = refs[n_hbm + n_par_ops + n_out_ops:]
+
+            # clip to the aligned core: the march's block indices never
+            # leave it, and emit_pipeline would otherwise emit partial-
+            # last-block slices for the hybrid rim rows (Z > Zc) that its
+            # BlockSpecs must tile evenly
+            def clip(r):
+                return r.at[:Zc, :Yc] if (Zc, Yc) != (Z, Y) else r
+
+            pipe_ins = [clip(hbm_in[hbm_pos[(n, pl_i)]])
+                        for n, _kind, pl_i in in_ops_index]
+            pipe_outs = [clip(r) for r in hbm_out]
+
+            def body(*pipe_refs):
+                kernel(*pipe_refs[:n_in_ops], *par_refs,
+                       *pipe_refs[n_in_ops:], *carry_refs)
+
+            pltpu.emit_pipeline(
+                body, grid=(Gy, Gz + 1),
+                in_specs=pipe_in_specs, out_specs=pipe_out_specs,
+            )(*pipe_ins, *pipe_outs)
+
+        call = pl.pallas_call(
+            outer,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_hbm
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_par_ops,
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY)
+                       if n_out_ops == 1 else
+                       tuple(pl.BlockSpec(memory_space=pl.ANY)
+                             for _ in range(n_out_ops))),
+            out_shape=(out_shapes[0] if len(out_shapes) == 1
+                       else tuple(out_shapes)),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 2**20,
+            ),
+            interpret=interpret,
+        )
+        npieces = 1  # pieces ride pipeline specs, not duplicated operands
+    else:
+        in_specs = []
+        for _name, kind, _pl in in_ops_index:
+            w = {0: by, -1: hy, 1: hy}[kind]
+
+            def imap(j, i, _kind=kind):
+                z = pl.multiple_of(jnp.minimum(i, Gz - 1) * bz, 8)
+                if _kind == 0:
+                    y = j * by
+                elif _kind == -1:
+                    y = pl.multiple_of(jnp.maximum(j * by - hy, 0), 8)
+                else:
+                    y = pl.multiple_of(jnp.minimum((j + 1) * by, Yc - hy), 8)
+                return (z, y, 0)
+
+            in_specs.append(pl.BlockSpec(
+                (pl.Element(bz), pl.Element(w), pl.Element(X)),
+                imap, memory_space=pltpu.VMEM))
+        for _ in range(n_par_ops):
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+        out_specs = [
+            pl.BlockSpec((bz, by, X),
+                         lambda j, i: (jnp.maximum(i - 1, 0), j, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_out_ops)]
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(Gy, Gz + 1),
+            in_specs=in_specs,
+            out_specs=(out_specs[0] if len(out_specs) == 1
+                       else tuple(out_specs)),
+            out_shape=(out_shapes[0] if len(out_shapes) == 1
+                       else tuple(out_shapes)),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=128 * 2**20,
+            ),
+            interpret=interpret,
+        )
+        npieces = len(piece_kinds)
 
     def fn(values: Mapping[str, jax.Array], params: Mapping[str, jax.Array]):
         ops = []

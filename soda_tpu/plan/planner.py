@@ -37,6 +37,7 @@ import dataclasses
 import math
 
 from ..ir.program import StencilProgram
+from ..utils.config import lb_ep_eligible, lb_engine
 
 Span = tuple[tuple[int, int], ...]  # per-dim (lo, hi), lo <= 0 <= hi
 
@@ -586,7 +587,11 @@ def _plan_group(
                     vmem *= 2
                 if vmem > vmem_budget:
                     continue
-                reads = (G + 1) * bh * W * in_io
+                # engine-dependent final-step fetch: the emit_pipeline
+                # march elides the flush step's re-fetch (copy-in fires
+                # only when the block index changes — utils/config.py)
+                lb_extra = 0 if lb_engine() == "ep" else 1
+                reads = (G + lb_extra) * bh * W * in_io
                 writes = H * W * out_io
                 useful = H * W * max(len(outputs), 1) * updates_per_cell
                 waste = (bh + r_lo + r_hi) / bh  # exact-extent stage eval
@@ -666,7 +671,11 @@ def _plan_group(
                 lb_budget = min(vmem_budget * 126 // 96, 126 * 2**20)
                 if vmem > lb_budget:
                     continue
-                reads = Gy * (G + 1) * bz * wy * X * in_io
+                # engine-dependent final-step fetch (see the 2-D branch);
+                # strip-piece BlockSpecs need hy | by for the ep engine
+                lb_extra = (0 if lb_engine() == "ep"
+                            and lb_ep_eligible(hy, by) else 1)
+                reads = Gy * (G + lb_extra) * bz * wy * X * in_io
                 writes = Z * Y * X * out_io
                 useful = Z * Y * X * max(len(outputs), 1) * updates_per_cell
                 waste = ((bz + rz_lo + rz_hi) * wy) / (bz * by)
