@@ -127,6 +127,13 @@ def make_parser() -> argparse.ArgumentParser:
                          "cadence choice, e.g. 'ici=90:2e-6,dcn=6.25:1e-4' "
                          "(also via SODA_LINK_MODEL env); defaults are "
                          "modeled, not measured — see parallel/mesh.py")
+    ap.add_argument("--lb-engine", choices=["mosaic", "ep"], default=None,
+                    help="line-buffer march engine: 'mosaic' = pallas_call "
+                         "auto-pipeline (hardware-proven; final flush step "
+                         "re-fetches one block per pass), 'ep' = explicit "
+                         "emit_pipeline whose copy-in skips unchanged block "
+                         "indices (exactly one HBM read per cell); also via "
+                         "SODA_LB_ENGINE env")
     ap.add_argument("--compile-cache", type=str, default=None,
                     help="persistent XLA compilation cache directory")
     ap.add_argument("--unroll-iterate", type=int, nargs="?", const=0,
@@ -257,6 +264,10 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_compilation_cache_dir", args.compile_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    if args.lb_engine:
+        from ..utils.config import set_lb_engine
+        set_lb_engine(args.lb_engine)  # before planning: models traffic too
 
     program = parse_file(args.soda_src, overrides=_overrides(args))
     updates_per_cell = 1
