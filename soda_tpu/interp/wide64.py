@@ -673,20 +673,102 @@ def _ds_log(a: W) -> W:
     return W("d", hi, lo, xp)
 
 
-def _mant_split(v: float, bits: int) -> np.float32:
-    """f32 keeping only the top `bits` mantissa bits of v (so n*const is
-    exact for |n| up to 2^(24-bits))."""
-    f = np.float32(v)
-    u = np.frombuffer(np.float32(f).tobytes(), np.uint32)[0]
-    mask = np.uint32((0xFFFFFFFF << (23 - bits)) & 0xFFFFFFFF)
-    return np.frombuffer(np.uint32(u & mask).tobytes(), np.float32)[0]
+def _pi_bits(bits: int) -> int:
+    """π·2^bits as an exact integer, via Machin's formula with integer
+    arithmetic (π = 16·atan(1/5) − 4·atan(1/239)); error < ~60 ulp at
+    2^-bits, far below the chunk tail this feeds."""
+    B = bits + 16  # guard bits against the per-term floor truncation
+
+    def at(q: int) -> int:
+        s, k, sign = 0, 0, 1
+        while True:
+            d = (2 * k + 1) * q ** (2 * k + 1)
+            t = (1 << B) // d
+            if t == 0:
+                return s
+            s += sign * t
+            sign = -sign
+            k += 1
+
+    return (16 * at(5) - 4 * at(239)) >> (B - bits)
+
+
+def _pio2_chunks(nchunks: int = 6, bits: int = 12) -> list[np.float32]:
+    """π/2 as a sum of `nchunks` f32 values of ≤ `bits` significant bits
+    each (taken from the top of the running remainder), covering at least
+    nchunks·bits bits of π/2.  Each chunk is EXACT in f32 and n·chunk is
+    exact for integer |n| ≤ 2^(24-bits) — the Cody–Waite requirement."""
+    B = 130
+    rem = _pi_bits(B) >> 1  # (π/2)·2^B
+    chunks = []
+    for _ in range(nchunks):
+        top = rem.bit_length() - 1
+        keep = max(top - (bits - 1), 0)
+        c = (rem >> keep) << keep
+        rem -= c
+        chunks.append(np.float32(float(c) * 2.0 ** (-B)))
+    return chunks
 
 
 _PIO2 = float(np.pi) / 2.0
-_PIO2_HI = _mant_split(_PIO2, 12)                       # 12-bit mantissa
-_PIO2_MI = _mant_split(_PIO2 - float(_PIO2_HI), 12)
-_PIO2_LO = np.float32(_PIO2 - float(_PIO2_HI) - float(_PIO2_MI))
+# trig reduction tables: 6 × 12-bit chunks of π/2 (72+ bits) and the
+# same chunks pre-scaled by 2^11 for the split-quotient products
+_PIO2_CHUNKS = _pio2_chunks()
+_PIO2_CHUNKS_HI = [np.float32(float(c) * 2048.0) for c in _PIO2_CHUNKS]
+# 2/π as a DS pair (hi + lo carries ~49 bits) so the quotient estimate
+# n = round(x·2/π) lands on the true nearest multiple
 _INV_PIO2 = np.float32(2.0 / np.pi)
+_INV_PIO2_LO = np.float32(2.0 / np.pi - float(_INV_PIO2))
+# exact-reduction range: n ≤ 2^23 keeps every split product exact
+_TRIG_EXACT_LIMIT = np.float32(1.2e7)
+
+
+def _reduce_pio2(a: W):
+    """(n, r): n = round(x·2/π) as an integer-valued f32 and
+    r = x − n·π/2 in DS, absolute error ~2^-47, valid for
+    |x| ≤ _TRIG_EXACT_LIMIT (n ≤ 2^23).
+
+    Two-level Cody–Waite: n splits as n_hi·2^11 + n_lo (|n_hi| ≤ 2^12,
+    |n_lo| ≤ 2^10) so every product against a 12-bit π/2 chunk is EXACT
+    in f32 (12+12 ≤ 24 mantissa bits); the 12 products + both input
+    limbs are then distilled with an error-free two_sum cascade (three
+    passes: the dropped pass-3 residue is < 2^-49).  This subsumes the
+    old 3-chunk single-level reduction (exact only to |n| ≤ 2^11,
+    |x| ≤ ~3200)."""
+    xp = a.xp
+    # quotient from a DS product with 2/π: error ~|x|·2^-45 → n is the
+    # true nearest multiple up to half-ulp ties (harmless: |r| grows by
+    # at most that tie margin)
+    p, pe = _two_prod(xp, a.a, _INV_PIO2)
+    n = xp.round(p + (pe + (a.a * _INV_PIO2_LO + a.b * _INV_PIO2)))
+    n_hi = xp.round(n * np.float32(2.0**-11))
+    n_lo = n - n_hi * np.float32(2048.0)  # exact: small-integer diff
+
+    hi = [n_hi * c for c in _PIO2_CHUNKS_HI]  # n_hi·2^11·h_k, exact
+    lo = [n_lo * c for c in _PIO2_CHUNKS]     # n_lo·h_k, exact
+    # descending magnitude (hi_k ~ x·2^-12(k-1), lo_k ~ 2^10.6·2^-12(k-1),
+    # a.b ≤ x·2^-24): ordering only shrinks the collected error terms —
+    # two_sum is exact unconditionally
+    seq = [hi[0], hi[1], lo[0], hi[2], -a.b, lo[1], hi[3], lo[2],
+           hi[4], lo[3], hi[5], lo[4], lo[5]]
+    s = a.a
+    errs = []
+    for t in seq:
+        s, e = _two_sum(xp, s, -t)
+        errs.append(e)
+    s2 = errs[0]
+    errs2 = []
+    for e in errs[1:]:
+        s2, e2 = _two_sum(xp, s2, e)
+        errs2.append(e2)
+    e3 = errs2[0]
+    for e in errs2[1:]:  # plain sum: terms ≤ 2^-33, residue < 2^-49
+        e3 = e3 + e
+    h, l = _two_sum(xp, s, s2)
+    h, l = _ds_norm(xp, h, l + e3)
+    return n, W("d", h, l, xp)
+
+
 # Taylor coefficients on |r| <= pi/4: sin to r^15, cos to r^16
 _SIN_COEF = [-1.0 / 1307674368000.0, 1.0 / 6227020800.0,
              -1.0 / 39916800.0, 1.0 / 362880.0, -1.0 / 5040.0,
@@ -697,15 +779,22 @@ _COS_COEF = [1.0 / 20922789888000.0, -1.0 / 87178291200.0,
 
 
 def _ds_sincos(a: W) -> tuple[W, W]:
-    """(sin, cos) in double-single: n = round(x·2/π), r = x − n·π/2
-    (three-part split, exact for |n| <= 2^11), DS Taylor on [-π/4, π/4],
-    quadrant selection by n mod 4.  |x| beyond ~3200 falls back to f32
-    accuracy (large-argument reduction needs Payne–Hanek; documented)."""
+    """(sin, cos) in double-single: n = round(x·2/π), r = x − n·π/2 via
+    the two-level Cody–Waite cascade (_reduce_pio2, exact for
+    |x| ≤ ~1.2e7), DS Taylor on [-π/4, π/4], quadrant selection by
+    n mod 4.  |x| beyond the reduction range falls back to f32 accuracy
+    (full Payne–Hanek is out of scope; documented)."""
     xp = a.xp
-    n = xp.round(a.a * _INV_PIO2)
-    r = _ds_add(a, W("d", -n * _PIO2_HI, -n * _PIO2_MI, xp))
-    r = _ds_add(r, _ds_mul(W("d", n, xp.zeros_like(n), xp),
-                           W("d", -_PIO2_LO, xp.zeros_like(n), xp)))
+    # sanitize the masked-out big/inf lanes BEFORE the reduction: their
+    # quotient n would exceed the exact-product range and overflow the
+    # Taylor squares (inf/NaN in discarded lanes still spam warnings and
+    # trip NaN-debug modes); NaN inputs keep flowing through (NaN > lim
+    # is False, so they take the computed path and propagate)
+    big = xp.abs(a.a) > _TRIG_EXACT_LIMIT
+    zero = xp.zeros_like(a.a)
+    x32 = a.a + a.b  # original value for the f32 fallback lanes
+    a = W("d", xp.where(big, zero, a.a), xp.where(big, zero, a.b), xp)
+    n, r = _reduce_pio2(a)
     r2 = _ds_mul(r, r)
     s_acc = W.ds_from_float(_SIN_COEF[0], xp)
     for c in _SIN_COEF[1:]:
@@ -731,8 +820,6 @@ def _ds_sincos(a: W) -> tuple[W, W]:
     k2 = k + 1.0 - 4.0 * xp.floor((k + 1.0) * 0.25)
     cos_v = sel(k2, s, c_)
     # fallback beyond the exact-reduction range: f32 accuracy
-    big = xp.abs(a.a) > np.float32(3000.0)
-    x32 = a.a + a.b
     sin_v = W("d", xp.where(big, xp.sin(x32), sin_v.a),
               xp.where(big, xp.zeros_like(sin_v.b), sin_v.b), xp)
     cos_v = W("d", xp.where(big, xp.cos(x32), cos_v.a),

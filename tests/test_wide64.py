@@ -523,10 +523,10 @@ def test_ds_inf_nan_semantics():
 
 
 def test_ds_trig_accuracy():
-    """sin/cos/tan/tanh are DS-accurate (three-part π/2 reduction + DS
-    Taylor; tanh via DS exp): ~1e-10 vs the f64 oracle in the exact-
-    reduction range; |x| beyond ~3200 falls back to f32 accuracy
-    (Payne–Hanek reduction is out of scope — documented)."""
+    """sin/cos/tan/tanh are DS-accurate (two-level Cody–Waite π/2
+    reduction + DS Taylor; tanh via DS exp): ~1e-10 vs the f64 oracle in
+    the exact-reduction range |x| ≤ ~1.2e7; beyond falls back to f32
+    accuracy (full Payne–Hanek is out of scope — documented)."""
     xp = WideXP(np)
 
     def ds(v):
@@ -549,6 +549,44 @@ def test_ds_trig_accuracy():
         merge_planes(xp.tanh(ds(np.array([25.0, -25.0]))).b,
                      xp.tanh(ds(np.array([25.0, -25.0]))).a, np.float64),
         np.array([1.0, -1.0]))
+
+
+def test_ds_trig_extended_range():
+    """Round-3 continuation: the two-level Cody–Waite reduction keeps
+    sin/cos exact to ~1e-13 ABSOLUTE out to |x| ≈ 1.2e7, including the
+    worst case (x an exact multiple of π/2, where r is tiny and the old
+    3200-limit single-level reduction would have lost everything);
+    beyond the limit the documented f32 fallback engages, and inf/NaN
+    still produce NaN without polluting finite lanes."""
+    xp = WideXP(np)
+
+    def ds(v):
+        lo, hi = split_planes(np.asarray(v, np.float64))
+        return W("d", hi, lo, np)
+
+    def back(w):
+        return merge_planes(w.b, w.a, np.float64)
+
+    r = np.random.default_rng(13)
+    x = np.concatenate([
+        r.uniform(-1.1e7, 1.1e7, 20000),
+        np.arange(1, 4000) * (np.pi / 2),             # near-zero residues
+        r.integers(1, 7_000_000, 4000) * (np.pi / 2)
+        + r.standard_normal(4000) * 1e-6,
+    ])
+    xw = ds(x)
+    xr = back(xw)  # the DS-representable value (48-bit mantissa)
+    assert np.abs(back(xp.sin(xw)) - np.sin(xr)).max() < 1e-12
+    assert np.abs(back(xp.cos(xw)) - np.cos(xr)).max() < 1e-12
+    # fallback + specials: finite-but-huge lanes get f32 accuracy, not
+    # garbage; inf/NaN propagate as NaN
+    with np.errstate(all="ignore"):
+        w = ds(np.array([1e9, np.inf, np.nan]))
+        s = back(xp.sin(w))
+    # the fallback evaluates sin at the f32-rounded argument (that IS
+    # the documented f32-accuracy contract beyond the limit)
+    assert abs(s[0] - np.sin(np.float64(np.float32(1e9)))) < 1e-4
+    assert np.isnan(s[1]) and np.isnan(s[2])
 
 
 def test_ds_trig_through_pallas():
