@@ -778,6 +778,25 @@ _COS_COEF = [1.0 / 20922789888000.0, -1.0 / 87178291200.0,
              -1.0 / 720.0, 1.0 / 24.0, -0.5]
 
 
+def _sincos_taylor(r: W) -> tuple[W, W]:
+    """(sin r, cos r) by DS Taylor — accurate for |r| ≤ ~0.85 (the
+    truncated sin r^17 term is < 8e-17 there); callers with reduced
+    arguments (|r| ≤ π/4) and the asin Newton step (|r| ≤ 0.81) both
+    qualify."""
+    xp = r.xp
+    r2 = _ds_mul(r, r)
+    s_acc = W.ds_from_float(_SIN_COEF[0], xp)
+    for c in _SIN_COEF[1:]:
+        s_acc = _ds_add(_ds_mul(s_acc, r2), W.ds_from_float(c, xp))
+    # sin(r) = r + r³·(poly) = r·(1 + r²·poly)
+    s = _ds_mul(r, _ds_add(_ds_mul(s_acc, r2), W.ds_from_float(1.0, xp)))
+    c_acc = W.ds_from_float(_COS_COEF[0], xp)
+    for c in _COS_COEF[1:]:
+        c_acc = _ds_add(_ds_mul(c_acc, r2), W.ds_from_float(c, xp))
+    c_ = _ds_add(_ds_mul(c_acc, r2), W.ds_from_float(1.0, xp))
+    return s, c_
+
+
 def _ds_sincos(a: W) -> tuple[W, W]:
     """(sin, cos) in double-single: n = round(x·2/π), r = x − n·π/2 via
     the two-level Cody–Waite cascade (_reduce_pio2, exact for
@@ -795,16 +814,7 @@ def _ds_sincos(a: W) -> tuple[W, W]:
     x32 = a.a + a.b  # original value for the f32 fallback lanes
     a = W("d", xp.where(big, zero, a.a), xp.where(big, zero, a.b), xp)
     n, r = _reduce_pio2(a)
-    r2 = _ds_mul(r, r)
-    s_acc = W.ds_from_float(_SIN_COEF[0], xp)
-    for c in _SIN_COEF[1:]:
-        s_acc = _ds_add(_ds_mul(s_acc, r2), W.ds_from_float(c, xp))
-    # sin(r) = r + r³·(poly) = r·(1 + r²·poly)
-    s = _ds_mul(r, _ds_add(_ds_mul(s_acc, r2), W.ds_from_float(1.0, xp)))
-    c_acc = W.ds_from_float(_COS_COEF[0], xp)
-    for c in _COS_COEF[1:]:
-        c_acc = _ds_add(_ds_mul(c_acc, r2), W.ds_from_float(c, xp))
-    c_ = _ds_add(_ds_mul(c_acc, r2), W.ds_from_float(1.0, xp))
+    s, c_ = _sincos_taylor(r)
     # quadrant k = n mod 4 (f32 integer arithmetic is exact here)
     k = n - 4.0 * xp.floor(n * 0.25)
 
@@ -980,7 +990,9 @@ def _ds_asin_newton(y: W) -> W:
     t0 = mathfns.f32_asin(xp, xp.minimum(xp.maximum(
         y.a + y.b, np.float32(-1.0)), np.float32(1.0)))
     T0 = W("d", t0, xp.zeros_like(t0), xp)
-    s, c = _ds_sincos(T0)
+    # |T0| <= asin(0.72) ~= 0.81: inside the direct Taylor domain, so
+    # skip the full pi/2 reduction (pure overhead here)
+    s, c = _sincos_taylor(T0)
     return _ds_add(T0, _ds_div(_ds_add(y, _ds_neg(s)), c))
 
 
