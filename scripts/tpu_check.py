@@ -99,32 +99,48 @@ def _compare(p, got, gold, rim):
 
 
 def run_at_size(rng) -> int:
-    """One oracle-checked production-size config per kernel strategy."""
+    """One oracle-checked production-size config per kernel strategy.
+
+    Linebuffer configs run under BOTH march engines (mosaic auto-pipeline
+    and the emit_pipeline one-read-per-cell engine — utils/config.py),
+    sharing one oracle evaluation per config; the at-size gate is where a
+    Mosaic-compile regression in either engine would surface."""
     from soda_tpu.plan.planner import plan as make_plan
+    from soda_tpu.utils import config
 
     failures = 0
     for name, shape, it, sweeps, want_strategy in AT_SIZE:
         p = parse_file(SODA / f"{name}.soda",
                        overrides={"iterate": it} if it else None)
-        pl = make_plan(p, shape, sweeps=sweeps)
-        strat = pl.groups[0].strategy
         label = f"{name} {'x'.join(map(str, shape))}"
-        if strat != want_strategy:
-            print(f"{label}: STRATEGY {strat} (expected {want_strategy})")
-            failures += 1
         ins, ps = _rand_inputs(p, shape, rng)
         gold = numpy_interp.run(p, ins, ps)
-        try:
-            got = pallas_backend.run(p, ins, ps, the_plan=pl)
-        except Exception as e:  # noqa: BLE001
-            print(f"{label}: COMPILE/RUN FAILED: {type(e).__name__}: "
-                  f"{str(e)[:200]}")
-            failures += 1
-            continue
-        ok = _compare(p, got, gold, p.valid_rim())
-        nf = pl.groups[0].sweeps
-        print(f"{label} [{strat}, sweeps={nf}]: {'OK' if ok else 'MISMATCH'}")
-        failures += 0 if ok else 1
+        engines = (["mosaic", "ep"] if want_strategy == "linebuffer"
+                   else ["mosaic"])
+        for eng in engines:
+            config.set_lb_engine(eng)
+            try:
+                pl = make_plan(p, shape, sweeps=sweeps)
+                strat = pl.groups[0].strategy
+                if strat != want_strategy:
+                    print(f"{label} [{eng}]: STRATEGY {strat} "
+                          f"(expected {want_strategy})")
+                    failures += 1
+                got = pallas_backend.run(p, ins, ps, the_plan=pl)
+            except Exception as e:  # noqa: BLE001
+                print(f"{label} [{eng}]: COMPILE/RUN FAILED: "
+                      f"{type(e).__name__}: {str(e)[:200]}")
+                failures += 1
+                continue
+            finally:
+                config.set_lb_engine(None)
+            ok = _compare(p, got, gold, p.valid_rim())
+            nf = pl.groups[0].sweeps
+            bpc = (pl.groups[0].hbm_bytes_per_call
+                   / max(pl.groups[0].useful_cells_per_call, 1))
+            print(f"{label} [{strat}/{eng}, sweeps={nf}, "
+                  f"{bpc:.3f}B/c]: {'OK' if ok else 'MISMATCH'}")
+            failures += 0 if ok else 1
     return failures
 
 
