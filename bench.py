@@ -26,6 +26,7 @@ the XLA backend: a regression in the flagship kernel must show up red.
 
 import json
 import pathlib
+import subprocess
 import sys
 import time
 
@@ -37,7 +38,52 @@ N = 512
 REPS = 10
 
 
+def _backend_alive(timeout_s: float = 240.0) -> bool:
+    """Probe JAX backend init in a SUBPROCESS with a timeout.
+
+    The axon tunnel can die (observed this round): jax.devices() then
+    hangs FOREVER — even under JAX_PLATFORMS=cpu, because the axon
+    register hook intercepts get_backend.  A hung bench would stall the
+    driver; probing out-of-process lets us fall back to the analytic
+    headline (which needs no hardware) with an explicit label instead."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _analytic_only() -> int:
+    """Hardware unavailable: emit the analytic headline (exact planner
+    byte counts — the primary metric anyway) with the outage labeled."""
+    from soda_tpu.frontend.parser import parse_file
+    from soda_tpu.plan import planner as planner_mod
+    from soda_tpu.utils import report as report_mod
+
+    here = pathlib.Path(__file__).resolve().parent
+    program = parse_file(here / "tests" / "soda" / "jacobi3d.soda")
+    plan = planner_mod.plan(program, (N, N, N), sweeps=1)
+    rep = report_mod.analyze(plan, program=program)
+    roofline_pct = 100.0 * rep.roofline_fraction
+    print(json.dumps({
+        "metric": "jacobi3d_512cubed_single_sweep_roofline",
+        "value": round(roofline_pct, 1),
+        "unit": "% of single-sweep HBM roofline (analytic, 8 B/cell ideal)",
+        "vs_baseline": round(roofline_pct / BASELINE_ROOFLINE_PCT, 3),
+        "analytic_bytes_per_cell": round(rep.bytes_per_cell_update, 3),
+        "hardware": "UNAVAILABLE: JAX backend init hung/failed (axon "
+                    "tunnel outage) — compile check, XLA cross-check and "
+                    "wall-clock skipped; analytic numbers are exact plan "
+                    "byte counts and unaffected",
+    }))
+    return 0
+
+
 def main() -> int:
+    if not _backend_alive():
+        return _analytic_only()
     import jax
 
     # persistent compilation cache: repeat driver runs skip the multi-
