@@ -596,7 +596,10 @@ def _plan_group(
                 useful = H * W * max(len(outputs), 1) * updates_per_cell
                 waste = (bh + r_lo + r_hi) / bh  # exact-extent stage eval
                 bpc = (reads + writes + rim_traffic()) / useful
-                key = (bpc, -bh)
+                # VMEM breaks traffic ties (the ep engine's traffic is
+                # block-size-independent): the smaller carry keeps clear
+                # of the hardware cliff and matches the proven shapes
+                key = (bpc, vmem, -bh)
                 if best is None or key < best[0]:
                     halo_lb = {i: ((rlo8, rhi8), (0, 0)) for i in ext_inputs}
                     best = (key, (bh, W),
@@ -680,7 +683,8 @@ def _plan_group(
                 useful = Z * Y * X * max(len(outputs), 1) * updates_per_cell
                 waste = ((bz + rz_lo + rz_hi) * wy) / (bz * by)
                 bpc = (reads + writes + rim_traffic()) / useful
-                key = (bpc, -bz * by)
+                # VMEM breaks traffic ties (see the 2-D branch)
+                key = (bpc, vmem, -bz * by)
                 if best is None or key < best[0]:
                     halo_lb = {
                         i: ((0, 0), (hy, hy), (0, 0)) for i in ext_inputs}
