@@ -142,3 +142,20 @@ def test_mesh_local_backend_and_overlap_flags():
         "--mesh", "4", "--mesh-local-backend", "pallas", "--interpret",
         "--mesh-overlap", "--run"])
     assert rc == 0
+
+
+def test_lb_engine_ep_report(capsys):
+    """--lb-engine ep: the march reads each cell once, so the headline
+    config reports exactly the ideal (100.0% of roofline); the engine
+    override is restored afterwards (set before planning, cleared here)."""
+    from soda_tpu.utils import config
+
+    try:
+        rc = main([str(SODA / "jacobi3d.soda"), "--grid-shape",
+                   "64,64,128", "--report", "--lb-engine", "ep"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "8.000 B/cell-update" in out
+        assert "100.0%" in out
+    finally:
+        config.set_lb_engine(None)
