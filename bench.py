@@ -67,12 +67,21 @@ def _analytic_only() -> int:
     plan = planner_mod.plan(program, (N, N, N), sweeps=1)
     rep = report_mod.analyze(plan, program=program)
     roofline_pct = 100.0 * rep.roofline_fraction
+    from soda_tpu.utils import config as _cfg
+    _cfg.set_lb_engine("ep")
+    try:
+        ep_rep = report_mod.analyze(
+            planner_mod.plan(program, (N, N, N), sweeps=1), program=program)
+    finally:
+        _cfg.set_lb_engine(None)
     print(json.dumps({
         "metric": "jacobi3d_512cubed_single_sweep_roofline",
         "value": round(roofline_pct, 1),
         "unit": "% of single-sweep HBM roofline (analytic, 8 B/cell ideal)",
         "vs_baseline": round(roofline_pct / BASELINE_ROOFLINE_PCT, 3),
         "analytic_bytes_per_cell": round(rep.bytes_per_cell_update, 3),
+        "lb_engine_ep_roofline_pct": round(
+            100.0 * ep_rep.roofline_fraction, 1),
         "hardware": "UNAVAILABLE: JAX backend init hung/failed (axon "
                     "tunnel outage) — compile check, XLA cross-check and "
                     "wall-clock skipped; analytic numbers are exact plan "
@@ -170,6 +179,17 @@ def main() -> int:
         "poisson3d_f64_256_wide_roofline_pct": _pct("poisson3d_f64",
                                                     (256, 256, 256)),
     }
+    # the emit_pipeline march elides the flush-step re-fetch (exactly one
+    # read per cell — utils/config.py); reported as a secondary until the
+    # at-size hardware gate validates it and the default flips
+    from soda_tpu.utils import config as _cfg
+    if _cfg.lb_engine() != "ep":
+        _cfg.set_lb_engine("ep")
+        try:
+            secondary["lb_engine_ep_roofline_pct"] = _pct(
+                "jacobi3d", grid_shape, sweeps=1)
+        finally:
+            _cfg.set_lb_engine(None)
 
     print(json.dumps({
         "metric": "jacobi3d_512cubed_single_sweep_roofline",

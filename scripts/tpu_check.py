@@ -150,6 +150,22 @@ def main() -> int:
                     help="skip the production-size strategy gate")
     args = ap.parse_args()
 
+    # preflight the backend in a TIMED subprocess: a dead axon tunnel
+    # makes jax.devices() hang forever in-process (observed round 3);
+    # fail loudly instead of sitting at zero CPU
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=240, capture_output=True)
+        alive = r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        alive = False
+    if not alive:
+        print("FATAL: JAX backend init hung/failed (axon tunnel outage?) "
+              "— hardware gate cannot run; retry when the tunnel recovers")
+        return 2
+
     import jax
 
     # persistent compile cache: the at-size kernels take 20-60 s each to
