@@ -153,15 +153,9 @@ def main() -> int:
     # preflight the backend in a TIMED subprocess: a dead axon tunnel
     # makes jax.devices() hang forever in-process (observed round 3);
     # fail loudly instead of sitting at zero CPU
-    import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=240, capture_output=True)
-        alive = r.returncode == 0
-    except (subprocess.TimeoutExpired, OSError):
-        alive = False
-    if not alive:
+    from soda_tpu.utils.backend_probe import probe_default_backend
+
+    if probe_default_backend() == "unavailable":
         print("FATAL: JAX backend init hung/failed (axon tunnel outage?) "
               "— hardware gate cannot run; retry when the tunnel recovers")
         return 2

@@ -33,15 +33,26 @@ from ..utils.config import lb_ep_eligible, lb_engine
 def _ensure_pipeline_cpu_compat():
     """pltpu.emit_pipeline consults the TPU generation for buffer tiling;
     under CPU interpret (and on proxied devices whose device_kind the
-    table does not know) get_tpu_info() raises — patch the lookup to
-    v5-class behavior.  The value only affects the minimum second-minor
-    buffer tiling (pipeline._make_tiling), not semantics."""
+    table does not know) get_tpu_info() raises.  Wrap the lookup so it
+    still answers truthfully on real TPUs and only FALLS BACK to
+    v5-class behavior when it raises — the value only affects the
+    minimum second-minor buffer tiling (pipeline._make_tiling), not
+    semantics.  Idempotent; a renamed private symbol on a jax upgrade
+    raises AttributeError here, loudly, at build time."""
     import jax._src.pallas.mosaic.pipeline as _pipe
 
-    try:
-        _pipe._get_tpu_generation()
-    except Exception:
-        _pipe._get_tpu_generation = lambda: 5
+    orig = _pipe._get_tpu_generation
+    if getattr(orig, "_soda_wrapped", False):
+        return
+
+    def _gen_or_v5():
+        try:
+            return orig()
+        except Exception:
+            return 5
+
+    _gen_or_v5._soda_wrapped = True
+    _pipe._get_tpu_generation = _gen_or_v5
 
 
 # ---- shared pair-carrier plumbing (2-D and 3-D builders) -------------------

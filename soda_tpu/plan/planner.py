@@ -70,6 +70,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _vmem_bucket(vmem_bytes: int) -> int:
+    """Candidate-key VMEM term, bucketed to 32 MiB: all strategies share
+    the key shape (bpc, vmem_bucket, -cells) so cross-strategy ties
+    compare commensurate quantities; the bucket steers equal-traffic
+    ties away from the VMEM cliff (e.g. the ep march's 117 vs 61 MiB
+    blocks) WITHOUT flipping small-footprint ties to tiny blocks (whose
+    per-step overhead the byte model does not see)."""
+    return vmem_bytes // (32 * 2**20)
+
+
 def _has_heavy_int_div(program: StencilProgram) -> bool:
     """True when any stage divides/mods by a NON-power-of-two value in a
     (possibly) integer context — the pair-carrier path lowers those to a
@@ -508,7 +518,7 @@ def _plan_group(
         if ev["vmem"] <= vmem_budget and not (
                 ev["waste"] > max_compute_waste and nf > 1):
             bpc = ev["traffic"] / ev["useful"]
-            key = (bpc, -math.prod(block))
+            key = (bpc, _vmem_bucket(ev["vmem"]), -math.prod(block))
             if best is None or key < best[0]:
                 best = (key, block, ev, "windows")
         # pad-free strips variant: runs on the q-aligned CORE (the whole
@@ -545,7 +555,7 @@ def _plan_group(
             if evs["vmem"] <= vmem_budget and not (
                     evs["waste"] > max_compute_waste and nf > 1):
                 bpc = evs["traffic"] / evs["useful"]
-                key = (bpc, -math.prod(block))
+                key = (bpc, _vmem_bucket(evs["vmem"]), -math.prod(block))
                 if best is None or key < best[0]:
                     best = (key, block, evs, "strips")
 
@@ -596,10 +606,10 @@ def _plan_group(
                 useful = H * W * max(len(outputs), 1) * updates_per_cell
                 waste = (bh + r_lo + r_hi) / bh  # exact-extent stage eval
                 bpc = (reads + writes + rim_traffic()) / useful
-                # VMEM breaks traffic ties (the ep engine's traffic is
-                # block-size-independent): the smaller carry keeps clear
-                # of the hardware cliff and matches the proven shapes
-                key = (bpc, vmem, -bh)
+                # bucketed VMEM breaks traffic ties (the ep engine's
+                # traffic is block-size-independent): the smaller carry
+                # keeps clear of the hardware cliff — see _vmem_bucket
+                key = (bpc, _vmem_bucket(vmem), -bh)
                 if best is None or key < best[0]:
                     halo_lb = {i: ((rlo8, rhi8), (0, 0)) for i in ext_inputs}
                     best = (key, (bh, W),
@@ -683,8 +693,8 @@ def _plan_group(
                 useful = Z * Y * X * max(len(outputs), 1) * updates_per_cell
                 waste = ((bz + rz_lo + rz_hi) * wy) / (bz * by)
                 bpc = (reads + writes + rim_traffic()) / useful
-                # VMEM breaks traffic ties (see the 2-D branch)
-                key = (bpc, vmem, -bz * by)
+                # bucketed VMEM breaks traffic ties (see _vmem_bucket)
+                key = (bpc, _vmem_bucket(vmem), -bz * by)
                 if best is None or key < best[0]:
                     halo_lb = {
                         i: ((0, 0), (hy, hy), (0, 0)) for i in ext_inputs}
