@@ -45,7 +45,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure", action="store_true",
                     help="also run wall-clock on the attached device")
+    ap.add_argument("--lb-engine", choices=["mosaic", "ep"], default=None,
+                    help="line-buffer march engine (see sodac --lb-engine); "
+                         "set before planning so the table models it")
     args = ap.parse_args()
+
+    if args.lb_engine:
+        from soda_tpu.utils.config import set_lb_engine
+        set_lb_engine(args.lb_engine)
 
     from soda_tpu.frontend.parser import parse_file
     from soda_tpu.plan.planner import plan as make_plan
