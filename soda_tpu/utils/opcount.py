@@ -75,8 +75,21 @@ _WIDE_INT_DIV = 512.0
 _WIDE_INT_DIV_POW2 = 6.0
 _WIDE_FLT = {"+": 20.0, "-": 20.0, "*": 17.0, "/": 35.0}
 _WIDE_CMP = 3.0
-_WIDE_CALL = {"sqrt": 50.0}
-_WIDE_CALL_DEFAULT = 80.0
+# DS transcendental weights MEASURED as traced jaxpr equation counts of
+# the wide64 implementations (r3 continuation, after the two-level
+# Cody–Waite reduction), divided by 2 — the scale implied by the basic
+# ops (add 40 eqns ↔ weight 20, mul 32 ↔ 17, div 79 ↔ 35, so
+# 1 unit ≈ 2 eqns ≈ 1 f32 ALU op).  These feed BOTH the VPU-bound
+# report and the compute-pressure split budget (planner
+# KERNEL_OP_BUDGET), so trig-heavy wide stages now split honestly.
+_WIDE_CALL = {"sqrt": 38.0, "rsqrt": 77.0,  # sqrt + DS div
+              "exp": 475.0, "exp2": 488.0, "log": 441.0, "log2": 454.0,
+              "log10": 456.0, "log1p": 788.0, "expm1": 884.0,
+              "sin": 720.0, "cos": 720.0, "tan": 759.0, "tanh": 574.0,
+              "sinh": 1444.0, "cosh": 538.0, "atan": 710.0,
+              "asin": 1396.0, "acos": 1416.0, "atan2": 787.0,
+              "hypot": 118.0, "pow": 938.0}
+_WIDE_CALL_DEFAULT = 800.0
 _CMP_OPS = ("==", "!=", "<", ">", "<=", ">=")
 
 
