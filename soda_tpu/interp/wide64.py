@@ -478,9 +478,40 @@ def _two_sum(xp, a, b):
     return s, small - (s - big)
 
 
+_SPLIT_MASK = np.int32(np.uint32(0xFFFFF000).view(np.int32))
+
+
 def _split(xp, a):
-    c = _SPLIT * a
-    hi = c - (c - a)
+    """Error-free 12|12 split of an f32 into hi + lo with ≤12 significant
+    bits each (so all four cross products in _two_prod are exact).
+
+    Uses MANTISSA MASKING (truncate the low 12 stored bits), NOT the
+    arithmetic Dekker/Veltkamp split `c - (c - a)`: XLA:CPU's algebraic
+    simplifier rewrites that sub-of-sub shape in large fused graphs and
+    deletes the low part — every DS product silently degrades to f32
+    (found round 3 by the wide fuzzer, seed 77: a two-sweep trapezoid
+    jitted as one graph; the same simplifier class already forced the
+    select-anchored _two_sum).  Bit ops cannot be algebraically
+    rewritten, and unlike Dekker the mask never overflows (SPLIT*a was
+    inf for |a| > ~8e34).  Truncation keeps hi at ≤12 significant bits
+    and lo = a - hi exact (same-exponent-range subtraction), so the
+    two_prod error term is IDENTICAL to the rounding split's.
+
+    0-d values (DS scalar constants) keep the arithmetic form: Mosaic
+    rejects scalar bitcasts, and constants fold at trace time where no
+    graph rewrite applies."""
+    if getattr(a, "ndim", 0) == 0 and xp is not np:
+        c = _SPLIT * a
+        hi = c - (c - a)
+        return hi, a - hi
+    if xp is np:
+        bits = np.asarray(a, np.float32).view(np.int32)
+        hi = (bits & _SPLIT_MASK).view(np.float32)
+    else:
+        import jax
+
+        bits = jax.lax.bitcast_convert_type(a, np.int32)
+        hi = jax.lax.bitcast_convert_type(bits & _SPLIT_MASK, np.float32)
     return hi, a - hi
 
 

@@ -80,6 +80,29 @@ def _vmem_bucket(vmem_bytes: int) -> int:
     return vmem_bytes // (32 * 2**20)
 
 
+def _uses_ds_float(program: StencilProgram) -> bool:
+    """True when any user tensor/param computes as double-single f32
+    pairs in-kernel (float width 64).
+
+    DS programs DO NOT use the flat-unrolled trapezoid schedule: XLA:CPU's
+    backend optimizations (active at --xla_backend_optimization_level >= 1;
+    verified: level 0 is bit-exact vs eager) numerically rewrite the
+    multi-sweep fused graph and the double-single error-free transforms
+    lose their low limbs — two unrolled sweeps degrade from ~1e-15 to
+    ~1e-8 median relative error (found round 3 by the wide fuzzer, seed
+    77; minimal repro: 3 lane-shifted mul/add terms x 2 sweeps under one
+    jit).  The constant-extent fori path traces ONE sweep per loop body,
+    which the compiler cannot merge across iterations — measured
+    bit-exact vs eager — so DS iterate programs fuse through fori (or
+    chunked calls when auxiliary inputs need per-sweep windows).
+    Integer pairs are unaffected (bitwise ops, fuzz-proven bit-exact);
+    f32 programs tolerate ulp-level rewrites by contract."""
+    return any(t.type.is_float and t.type.width == 64
+               for t in program.tensors.values()) \
+        or any(p.type.is_float and p.type.width == 64
+               for p in program.params.values())
+
+
 def _has_heavy_int_div(program: StencilProgram) -> bool:
     """True when any stage divides/mods by a NON-power-of-two value in a
     (possibly) integer context — the pair-carrier path lowers those to a
@@ -308,6 +331,12 @@ def _plan_group(
                                if i in spans]))
         for d in range(rank))
 
+    # fused-sweep schedule: shallow depths run the Python-unrolled exact-
+    # extent trapezoid, EXCEPT for double-single programs (fori only —
+    # see _uses_ds_float); deeper depths take the constant-extent fori
+    use_trap = (nf > 1 and nf <= TRAPEZOID_MAX_SWEEPS
+                and not _uses_ds_float(program))
+
     def io_bytes(name: str) -> int:
         return program.tensors[name].type.tpu_storage_bytes
 
@@ -484,7 +513,7 @@ def _plan_group(
             max_ext = 1
             for d in range(rank):
                 max_ext *= block[d] + halo[i0][d][0] + halo[i0][d][1]
-        if nf > 1 and nf <= TRAPEZOID_MAX_SWEEPS:
+        if use_trap:
             # trapezoid schedule: sweep s computes extent block + m*creep
             # (m = remaining sweeps), not the constant full window —
             # compute waste is the trapezoid volume, not the prism
@@ -732,8 +761,7 @@ def _plan_group(
         strategy=strategy,
         core=(core if strategy in ("strips", "linebuffer") and hybrid_dims
               else None),
-        trapezoid=(nf > 1 and nf <= TRAPEZOID_MAX_SWEEPS
-                   and strategy in ("windows", "strips")),
+        trapezoid=(use_trap and strategy in ("windows", "strips")),
     )
 
 
@@ -807,6 +835,15 @@ def plan(
         notes.append(
             "wide integer division: fused sweeps disabled "
             "(64-step pair division per sweep — compile-cost guard)")
+    ds_float = _uses_ds_float(program)
+    if ds_float and len(program.input_names) > 1 and nf > 1:
+        # double-single programs cannot use the trapezoid (see
+        # _uses_ds_float) and the fori carry is the feedback tensor alone,
+        # so aux-input DS programs run chunked single-sweep calls
+        nf = 1
+        notes.append(
+            "double-single + auxiliary inputs: fused sweeps disabled "
+            "(trapezoid unavailable for DS, fori cannot carry aux windows)")
     if len(program.input_names) > 1 and nf > TRAPEZOID_MAX_SWEEPS:
         # auxiliary iterate inputs require the trapezoid kernel path (the
         # constant-extent fori carries only the feedback tensor): cap fused
@@ -834,7 +871,8 @@ def plan(
         # division caps at one sweep (compile-cost guard above).  Plain
         # wide programs fuse freely — the fori carry rides W pair
         # carriers (pytree) beyond the trapezoid cap.
-        nf_cap = (1 if wide_div else
+        nf_cap = (1 if wide_div
+                  or (ds_float and len(program.input_names) > 1) else
                   TRAPEZOID_MAX_SWEEPS
                   if len(program.input_names) > 1 else it)
         best_nf, best_score, best_g = None, -1.0, None

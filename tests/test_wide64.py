@@ -184,12 +184,16 @@ def test_pallas_wide_trapezoid_fused_sweeps():
     r = p.valid_rim()
     assert np.array_equal(gold[r:-r, r:-r], got[r:-r, r:-r])
 
+    # double-single programs fuse through the FORI schedule instead (the
+    # flat trapezoid corrupts DS EFTs under XLA backend optimization —
+    # fuzz seed 77, see test_ds_iterate_avoids_trapezoid) and stay at DS
+    # accuracy when fusion is explicitly requested
     src2 = ("kernel: itd\niterate: 8\ninput double: a(128, *)\n"
             "output double: out(0,0) = (a(-1,0) + a(1,0) + a(0,-1)"
             " + a(0,1) + a(0,0)) * 0.2\n")
     p2 = parse(src2)
-    pl2 = plan(p2, (256, 256))
-    assert pl2.groups[0].trapezoid
+    pl2 = plan(p2, (256, 256), sweeps=8)
+    assert not pl2.groups[0].trapezoid and pl2.groups[0].sweeps == 8
     f = rng.standard_normal((256, 256))
     gold2 = numpy_interp.run(p2, {"a": f})["out"]
     got2 = pb.run(p2, {"a": f}, interpret=True, the_plan=pl2)["out"]
@@ -785,3 +789,44 @@ def test_ds_eft_survives_jit():
     a, b = jax.jit(f)(hi, lo)
     got = np.asarray(a).astype(np.float64) + np.asarray(b).astype(np.float64)
     assert np.abs(got - np.sqrt(1 + x * x)).max() < 1e-12
+
+
+def test_ds_iterate_avoids_trapezoid():
+    """Fuzz seed 77 (round 3): XLA:CPU's backend optimizations corrupt
+    the double-single error-free transforms in FLAT-UNROLLED multi-sweep
+    graphs (two trapezoid sweeps degraded from ~1e-15 to ~1e-8 median
+    relative; --xla_backend_optimization_level=0 was bit-exact, proving
+    the arithmetic itself is right).  DS programs therefore fuse sweeps
+    through the per-sweep-traced fori path, which the compiler cannot
+    merge across iterations (planner._uses_ds_float)."""
+    from soda_tpu.plan import planner
+
+    src = ("kernel: fw\niterate: 2\ninput double: a(64, *)\n"
+           "output double: out(0, 0) = a(-1, -1) * -1.25 + a(-1, 0)"
+           " + a(0, 0) * 1.5 + a(1, 1) * -0.75\n")
+    p = parse(src)
+    shape = (32, 128)
+    pl = planner.plan(p, shape)
+    for g in pl.groups:
+        assert not g.trapezoid, g.describe()
+    x = np.random.default_rng(77).standard_normal(shape) * 10.0
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = np.asarray(pb.run(p, {"a": x}, the_plan=pl, interpret=True)["out"])
+    sl = (slice(2, -2), slice(2, -2))
+    rel = (np.abs(got[sl] - gold[sl])
+           / np.maximum(np.abs(gold[sl]), 1e-30))
+    assert np.median(rel) < 1e-12, np.median(rel)
+
+    # forced deep fusion still avoids the trapezoid and stays accurate
+    pl2 = planner.plan(p, shape, sweeps=2)
+    assert all(not g.trapezoid for g in pl2.groups)
+
+    # DS + auxiliary inputs: fori cannot carry aux windows and the
+    # trapezoid is unavailable -> chunked single-sweep calls
+    src_aux = ("kernel: fa\niterate: 4\ninput double: a(64, *)\n"
+               "input double: rhs(64, *)\n"
+               "output double: out(0, 0) = (a(-1, 0) + a(1, 0)"
+               " + a(0, -1) + a(0, 1)) * 0.25 + rhs(0, 0)\n")
+    pa = parse(src_aux)
+    pla = planner.plan(pa, shape)
+    assert pla.groups[0].sweeps == 1, pla.groups[0].describe()
