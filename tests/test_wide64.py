@@ -830,3 +830,47 @@ def test_ds_iterate_avoids_trapezoid():
     pa = parse(src_aux)
     pla = planner.plan(pa, shape)
     assert pla.groups[0].sweeps == 1, pla.groups[0].describe()
+
+
+def test_ds_jit_vs_eager_bitwise_canary():
+    """Canary for the EFT-vs-compiler bug class (three instances found
+    round 3: two_sum's error term, the Dekker split, flat multi-sweep
+    graphs).  The sweep-shaped DS graph must match BITWISE under jit;
+    the transcendental chain is allowed benign lo-limb rewrite noise
+    (~3e-15 today) but must stay far under the ~1e-8 failure mode.  If a
+    jaxlib upgrade changes XLA:CPU's rewrite behavior, this trips before
+    the fuzzer does."""
+    import jax
+    import jax.numpy as jnp
+
+    from soda_tpu.backend.pallas import _lane_shift
+
+    x = np.random.default_rng(9).standard_normal((8, 16)) * 10.0
+    lo, hi = split_planes(x)
+    xp = WideXP(jnp)
+
+    def one_sweep(w):
+        def tp(dy, dx):
+            sl = w[dy + 1:dy + 1 + 6] if dy else w[1:7]
+            return _lane_shift(sl, dx)
+        return (tp(-1, -1) * -1.25 + tp(-1, 0) + tp(0, 0) * 1.5
+                + tp(1, 1) * -0.75)
+
+    def graph(h, l):
+        w = W("d", h, l, jnp)
+        s = one_sweep(w)
+        # a transcendental on top: exp exercises the reduction + Taylor
+        e = xp.exp(s * 0.01)
+        return s.a, s.b, e.a, e.b
+
+    eager = graph(jnp.asarray(hi), jnp.asarray(lo))
+    jitted = jax.jit(graph)(jnp.asarray(hi), jnp.asarray(lo))
+    for i in (0, 1):  # the sweep: bitwise
+        assert np.array_equal(np.asarray(eager[i]), np.asarray(jitted[i])), i
+
+    def merged(t):
+        return merge_planes(np.asarray(t[3]), np.asarray(t[2]), np.float64)
+
+    em, jm = merged(eager), merged(jitted)
+    rel = np.abs(jm - em) / np.maximum(np.abs(em), 1e-30)
+    assert rel.max() < 1e-13, rel.max()
