@@ -78,7 +78,12 @@ def gen(rng: random.Random) -> tuple[str, str, bool]:
                 # tanh/square-plus-one so errors stay at DS/f16 scale
                 d = f"{src}({off()})"
                 return rng.choice([
-                    f"atan({r})", f"asin(tanh({r}))",
+                    # asin's conditioning blows up at |y| -> 1
+                    # (asin' = 1/sqrt(1-y^2)): the *0.9 keeps the
+                    # composition well-conditioned, same as the corpus
+                    # mathfn programs (soak seed 189: unbounded asin о
+                    # tanh amplified DS-vs-f64 noise 1e-12 -> 1e-8 abs)
+                    f"atan({r})", f"asin(tanh({r}) * 0.9)",
                     f"log1p({r} * {r})", f"expm1(tanh({r}))",
                     f"hypot({r}, {d})",
                     f"atan2({r}, {d} * {d} + 1.0)",
@@ -278,14 +283,16 @@ def main() -> int:
                 # (f16 rounds tiny sums to exact 0 where f32 keeps a
                 # sign) and iterate feedback spreads the flipped cells
                 # (~0.6% observed at iterate=4).  ADVICE r2: at
-                # iterate=1 flips CANNOT spread, so gate max error at
-                # f16 scale there; with feedback, bound the FRACTION of
-                # cells beyond f16 tolerance.  Threshold 1.2%: above the
-                # ~0.6% benign flip rate observed at iterate=4, below a
-                # single corrupted row on the largest fuzz shape
-                # (248/13888 = 1.79% interior cells on (64,256) rim 4)
+                # iterate=1 flips cannot SPREAD, but one flip between
+                # DISTANT branch values is still an O(branch-gap) error
+                # at that cell (soak seed 191: ternary on a computed
+                # near-zero value selecting unrelated taps), so both
+                # regimes gate the FRACTION of cells beyond f16
+                # tolerance — tight (0.5%) without feedback, 1.2% with
+                # (above the ~0.6% spread rate observed at iterate=4,
+                # below a corrupted row: 248/13888 = 1.79% on (64,256))
                 if p.iterate <= 1:
-                    ok = rel.max() < 3e-2
+                    ok = np.mean(rel >= 3e-2) < 0.005
                 else:
                     ok = np.mean(rel >= 3e-2) < 0.012
             else:
