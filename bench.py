@@ -51,12 +51,13 @@ def _headline_fields() -> dict:
     rep = report_mod.analyze(
         planner_mod.plan(program, (N, N, N), sweeps=1), program=program)
     roofline_pct = 100.0 * rep.roofline_fraction
-    # the emit_pipeline march elides the flush-step re-fetch (exactly one
-    # read per cell — utils/config.py); a secondary until the at-size
-    # hardware gate validates it and the default flips
-    _cfg.set_lb_engine("ep")
+    # headline runs the DEFAULT engine (ep since the r3 hardware gate:
+    # emit_pipeline's copy-in elides the flush-step re-fetch — exactly one
+    # read per cell); the mosaic auto-pipeline number is kept as a
+    # secondary so the opt-out path's traffic stays visible
+    _cfg.set_lb_engine("mosaic")
     try:
-        ep_rep = report_mod.analyze(
+        mosaic_rep = report_mod.analyze(
             planner_mod.plan(program, (N, N, N), sweeps=1), program=program)
     finally:
         _cfg.set_lb_engine(None)
@@ -66,8 +67,9 @@ def _headline_fields() -> dict:
         "unit": "% of single-sweep HBM roofline (analytic, 8 B/cell ideal)",
         "vs_baseline": round(roofline_pct / BASELINE_ROOFLINE_PCT, 3),
         "analytic_bytes_per_cell": round(rep.bytes_per_cell_update, 3),
-        "lb_engine_ep_roofline_pct": round(
-            100.0 * ep_rep.roofline_fraction, 1),
+        "lb_engine": _cfg.lb_engine(),
+        "lb_engine_mosaic_roofline_pct": round(
+            100.0 * mosaic_rep.roofline_fraction, 1),
         "_rep": rep,  # stripped before printing; used by the hw path
     }
 

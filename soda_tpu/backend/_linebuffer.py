@@ -143,7 +143,10 @@ def build_linebuffer2d_group_fn(program: StencilProgram, g: GroupPlan,
     rlo8 = max(g.halo[i][0][0] for i in g.external_inputs)
     rhi8 = max(g.halo[i][0][1] for i in g.external_inputs)
 
-    use_ep = lb_engine() == "ep"
+    # unaligned lane dims fall back to the mosaic march: emit_pipeline's
+    # block DMA is a tpu.memref_slice whose lane extent must be
+    # 128-aligned (see lb_ep_eligible) — must match the planner's model
+    use_ep = lb_engine() == "ep" and lb_ep_eligible(W)
 
     out_shapes = []
     for o, w in zip(g.outputs, out_wide):
@@ -352,7 +355,7 @@ def build_linebuffer_group_fn(program: StencilProgram, g: GroupPlan,
     carry_index = [(n, pl_i) for n in g.external_inputs
                    for pl_i in range(2 if wide_in[n] else 1)]
 
-    use_ep = lb_engine() == "ep" and lb_ep_eligible(hy, by)
+    use_ep = lb_engine() == "ep" and lb_ep_eligible(X, hy, by)
 
     out_shapes = []
     for o, w_ in zip(g.outputs, out_wide):

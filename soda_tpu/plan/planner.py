@@ -628,8 +628,11 @@ def _plan_group(
                     continue
                 # engine-dependent final-step fetch: the emit_pipeline
                 # march elides the flush step's re-fetch (copy-in fires
-                # only when the block index changes — utils/config.py)
-                lb_extra = 0 if lb_engine() == "ep" else 1
+                # only when the block index changes — utils/config.py);
+                # unaligned lane dims fall back to the mosaic march
+                # (Mosaic rejects unaligned memref_slice lane extents)
+                lb_extra = (0 if lb_engine() == "ep"
+                            and lb_ep_eligible(W) else 1)
                 reads = (G + lb_extra) * bh * W * in_io
                 writes = H * W * out_io
                 useful = H * W * max(len(outputs), 1) * updates_per_cell
@@ -714,9 +717,10 @@ def _plan_group(
                 if vmem > lb_budget:
                     continue
                 # engine-dependent final-step fetch (see the 2-D branch);
-                # strip-piece BlockSpecs need hy | by for the ep engine
+                # ep also needs a 128-aligned lane dim and hy | by for
+                # the y-strip piece BlockSpecs
                 lb_extra = (0 if lb_engine() == "ep"
-                            and lb_ep_eligible(hy, by) else 1)
+                            and lb_ep_eligible(X, hy, by) else 1)
                 reads = Gy * (G + lb_extra) * bz * wy * X * in_io
                 writes = Z * Y * X * out_io
                 useful = Z * Y * X * max(len(outputs), 1) * updates_per_cell

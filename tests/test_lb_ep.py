@@ -129,11 +129,28 @@ def test_ep_y_tiled_strips(ep_engine):
 
 
 def test_ep_ineligible_strips_fall_back():
-    """by % hy != 0 keeps the mosaic engine (and its traffic model):
-    lb_ep_eligible gates both planner and builder identically."""
-    assert config.lb_ep_eligible(0, 512)
-    assert config.lb_ep_eligible(8, 512)
-    assert not config.lb_ep_eligible(16, 24)
+    """by % hy != 0 or an unaligned lane dim keeps the mosaic engine (and
+    its traffic model): lb_ep_eligible gates both planner and builder
+    identically."""
+    assert config.lb_ep_eligible(128, 0, 512)
+    assert config.lb_ep_eligible(256, 8, 512)
+    assert not config.lb_ep_eligible(128, 16, 24)
+    # unaligned lane dim: Mosaic rejects the memref_slice DMA (hardware-
+    # measured at 500-wide grids) — never eligible regardless of strips
+    assert not config.lb_ep_eligible(500)
+    assert not config.lb_ep_eligible(500, 8, 512)
+
+
+def test_ep_unaligned_lane_falls_back(ep_engine):
+    """An unaligned lane dim under the ep engine keeps the mosaic march:
+    the planner models the (G+1)/G flush re-fetch and the kernel still
+    passes the oracle (hardware: jacobi3d 500^3 ep memref_slice crash)."""
+    p = parse_file("tests/soda/jacobi3d.soda")
+    shape = (24, 32, 120)  # lane dim 120 % 128 != 0
+    pln = _check(p, shape, 4 * 2**20)
+    g = pln.groups[0]
+    # mosaic-march traffic: strictly more than one read per cell
+    assert g.hbm_bytes_per_call > g.useful_cells_per_call * 8
 
 
 def test_engine_env_roundtrip():
