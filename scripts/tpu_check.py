@@ -54,6 +54,13 @@ def _rand_inputs(p, shape, rng):
         t = p.tensors[n].type
         if t.is_float:
             ins[n] = rng.standard_normal(shape).astype(t.np_dtype())
+        elif t.kind == "int" and t.width > 64:
+            # quad-limb range (object arrays of Python ints): exercise
+            # the high limbs on the XLA carrier path
+            hi = rng.integers(0, 1 << (min(t.width, 127) - 65),
+                              shape).astype(object)
+            lo = rng.integers(0, 1 << 62, shape).astype(object)
+            ins[n] = (hi << 64) | lo
         elif t.kind == "int" and t.width > 32:
             # exercise the pair-carrier path past int32
             ins[n] = rng.integers(-(1 << 40), 1 << 40, shape).astype(
@@ -180,6 +187,13 @@ def main() -> int:
             shape = SHAPES[p.rank]
             if t.is_float:
                 ins[n] = rng.standard_normal(shape).astype(t.np_dtype())
+            elif t.kind == "int" and t.width > 64:
+                # quad-limb carriers (XLA backend route below): big
+                # Python ints so the high limbs are exercised
+                hi = rng.integers(0, 1 << (min(t.width, 127) - 65),
+                                  shape).astype(object)
+                lo = rng.integers(0, 1 << 62, shape).astype(object)
+                ins[n] = (hi << 64) | lo
             else:
                 ins[n] = rng.integers(0, 250, shape).astype(t.np_dtype())
         ps = {pp.name: rng.standard_normal(pp.shape).astype(pp.type.np_dtype())
@@ -207,14 +221,26 @@ def main() -> int:
                 if not ok_c:
                     print(f"{pathlib.Path(f).stem}: C++/NumPy oracle mismatch!")
                     failures += 1
+        from soda_tpu.interp import wide128
+
+        w128 = wide128.program_is_128(p)
         try:
-            got = pallas_backend.run(p, ins, ps, vmem_budget=4 * 2**20)
+            if w128:
+                # >64-bit: the documented native route is the XLA backend
+                # (quad-limb V carriers jitted onto the TPU); the Pallas
+                # path's typed rejection is pinned by tests/test_backends
+                from soda_tpu.backend import xla as xla_backend
+
+                got = xla_backend.run(p, ins, ps)
+            else:
+                got = pallas_backend.run(p, ins, ps, vmem_budget=4 * 2**20)
         except Exception as e:  # noqa: BLE001
             print(f"{pathlib.Path(f).stem}: COMPILE/RUN FAILED: {type(e).__name__}")
             failures += 1
             continue
         ok = _compare(p, got, gold, p.valid_rim())
-        print(f"{pathlib.Path(f).stem}: {'OK' if ok else 'MISMATCH'}")
+        tag = " [xla quad-limb]" if w128 else ""
+        print(f"{pathlib.Path(f).stem}{tag}: {'OK' if ok else 'MISMATCH'}")
         failures += 0 if ok else 1
 
     if not args.small_only:

@@ -243,6 +243,29 @@ def _shift_all(a: jax.Array, offsets: tuple[int, ...]) -> jax.Array:
     return a
 
 
+def _feedback_live(program: StencilProgram, stages) -> set[str]:
+    """Stages needed (transitively) by the FEEDBACK output within a fused
+    sweep: in a multi-output iterate group the non-feedback outputs are
+    final-sweep-only (the reference's replication lowering leaves the
+    intermediate sweeps' copies dead — docs/SEMANTICS.md), so the sweep
+    loops skip everything outside this set until the last sweep."""
+    from ..ir import expr as ir_expr
+
+    members = set(stages)
+    fb = program.output_names[0]
+    live: set[str] = set()
+    work = [fb] if fb in members else []
+    while work:
+        s = work.pop()
+        if s in live:
+            continue
+        live.add(s)
+        for r in ir_expr.get_load_set(program.tensors[s].expr):
+            if r.name in members and r.name not in live:
+                work.append(r.name)
+    return live if live else set(members)
+
+
 def _group_params(program: StencilProgram, g: GroupPlan) -> list[str]:
     """Param names referenced by the group's stage expressions."""
     from ..ir import expr as ir_expr
@@ -404,7 +427,10 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
         fb = (program.input_names[0]
               if program.input_names[0] in g.external_inputs
               else g.external_inputs[0])
-        out_name = g.outputs[0]
+        out_name = (program.output_names[0]
+                    if program.output_names[0] in g.outputs
+                    else g.outputs[0])
+        live = _feedback_live(program, g.stages)
         creep = g.sweep_span
 
         # per-array (origin, per-leading-dim) bookkeeping; origins are
@@ -455,7 +481,10 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
             else:
                 ctx = EvalContext(program=program, xp=jnp, tap=tap,
                                   params=params, int_width=32)
+            last = s == g.sweeps - 1
             for st in g.stages:
+                if not last and st not in live:
+                    continue  # non-feedback-output chains: final sweep only
                 cur_stage[0] = st
                 t = program.tensors[st]
                 v, vt = eval_expr(t.expr, ctx)
@@ -465,7 +494,18 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
                         sweep_vals[out_name].astype(
                             _compute_dtype(program, fb)))
             origins[fb] = stage_o[out_name]
-        _store_output(program, out_name, out_refs[0], vals[fb])
+        # final sweep (m=0) evaluated every stage at block+span extent:
+        # store each output's last-sweep value (center-sliced when it is
+        # also consumed inside the group and so carries a span)
+        for name, ref in zip(g.outputs, out_refs):
+            v = sweep_vals[name]
+            sp = g.spans.get(name, tuple((0, 0) for _ in range(rank)))
+            if any(sp[d] != (0, 0) for d in range(rank - 1)):
+                center = tuple(
+                    slice(-sp[d][0], -sp[d][0] + block[d])
+                    for d in range(rank - 1)) + (slice(None),)
+                v = v[center]
+            _store_output(program, name, ref, v)
     else:
         # constant-extent fused sweeps: zero-fill taps; invalid values
         # creep one sweep-span inward per sweep, staying inside the halo.
@@ -478,7 +518,10 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
 
         wide = wide64.program_is_wide(program)
         in_name = g.external_inputs[0]
-        out_name = g.outputs[0]
+        out_name = (program.output_names[0]
+                    if program.output_names[0] in g.outputs
+                    else g.outputs[0])
+        live = _feedback_live(program, g.stages)
         fb_dtype = program.tensors[in_name].type.np_dtype()
 
         def tap_const(vals, parent, off):
@@ -492,7 +535,7 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
             values[in_name] = values[in_name].astype(
                 _compute_dtype(program, in_name))
 
-        def body(_, a):
+        def sweep(a, last: bool) -> dict:
             vals = {in_name: a}
             if wide:
                 ctx = EvalContext(program=program, xp=wide64.WideXP(jnp),
@@ -505,19 +548,34 @@ def _eval_group(program: StencilProgram, g: GroupPlan,
                     tap=lambda p, off: tap_const(vals, p, off),
                     params=params, int_width=32)
             for name in g.stages:
+                if not last and name not in live:
+                    continue  # non-feedback outputs: final sweep only
                 t = program.tensors[name]
                 v, vt = eval_expr(t.expr, ctx)
                 vals[name] = store_cast(ctx, v, vt, t.type)
-            out = vals[out_name]
+            return vals
+
+        def body(_, a):
+            out = sweep(a, last=False)[out_name]
             # keep the carry rep invariant across sweeps
             return out.astype(fb_dtype) if wide else out
 
-        a = jax.lax.fori_loop(0, g.sweeps, body, values[in_name])
         h = g.halo[in_name]
         center = tuple(
             slice(h[d][0], h[d][0] + block[d]) for d in range(rank - 1)
         ) + (slice(None),)
-        _store_output(program, out_name, out_refs[0], a[center])
+        if len(g.outputs) == 1:
+            # single output: all sweeps in the fori, store the carry
+            a = jax.lax.fori_loop(0, g.sweeps, body, values[in_name])
+            _store_output(program, out_name, out_refs[0], a[center])
+        else:
+            # multi-output iterate: sweeps-1 in the fori, then ONE final
+            # (traced-once) sweep outside it so every output's last-sweep
+            # value exists for the stores
+            a = jax.lax.fori_loop(0, g.sweeps - 1, body, values[in_name])
+            final = sweep(a, last=True)
+            for name, ref in zip(g.outputs, out_refs):
+                _store_output(program, name, ref, final[name][center])
 
 
 def _build_kernel(program: StencilProgram, g: GroupPlan):
@@ -818,7 +876,9 @@ def _eval_group_slab(program: StencilProgram, g: GroupPlan,
         return {n: vals[n] for n in g.outputs}
     fb = (program.input_names[0] if program.input_names[0] in ins
           else g.external_inputs[0])
-    out_name = g.outputs[0]
+    out_name = (program.output_names[0]
+                if program.output_names[0] in g.outputs else g.outputs[0])
+    live = _feedback_live(program, g.stages)
     fb_dtype = program.tensors[fb].type.np_dtype()
     if wide:
         # pair carriers ride the fori carry as a W pytree; the rep is
@@ -831,19 +891,29 @@ def _eval_group_slab(program: StencilProgram, g: GroupPlan,
     aux = {n: (v if isinstance(v, wide64.W) else jnp.asarray(v))
            for n, v in ins.items() if n != fb}
 
-    def body(_, a):
+    def sweep(a, last: bool) -> dict:
         vals = dict(aux)
         vals[fb] = a
         ctx = _ctx(params)
         ctx.tap = lambda p, off: _tapv(vals, p, off)
         for name in g.stages:
+            if not last and name not in live:
+                continue  # non-feedback outputs: final sweep only
             t = program.tensors[name]
             v, vt = eval_expr(t.expr, ctx)
             vals[name] = store_cast(ctx, v, vt, t.type)
-        out = vals[out_name]
+        return vals
+
+    def body(_, a):
+        out = sweep(a, last=False)[out_name]
         return out.astype(fb_dtype) if wide else out.astype(a.dtype)
 
-    return {out_name: jax.lax.fori_loop(0, g.sweeps, body, a)}
+    if len(g.outputs) == 1:
+        return {out_name: jax.lax.fori_loop(0, g.sweeps, body, a)}
+    # multi-output iterate: final sweep outside the fori (see _eval_group)
+    a = jax.lax.fori_loop(0, g.sweeps - 1, body, a)
+    final = sweep(a, last=True)
+    return {n: final[n] for n in g.outputs}
 
 
 def _apply_rims(program: StencilProgram, g: GroupPlan,

@@ -131,14 +131,19 @@ def build_fn(program: StencilProgram, iterate: int | None = None):
         def body(arrs, _):
             arrs = dict(arrs)
             arrs = _sweep(program, arrs, params_c, int_width)
-            # feedback: output -> first input; auxiliary inputs carry over
+            # feedback: first output -> first input; aux inputs carry over
             nxt = {n: arrs[n] for n in program.input_names}
             nxt[in_name] = arrs[out_name]
             return nxt, None
 
+        # it-1 sweeps in the scan, then ONE final sweep outside it: the
+        # final full-DAG evaluation yields every output's last-sweep value
+        # (multi-output iterate: non-feedback outputs are final-sweep-only)
         state = {n: arrays[n] for n in program.input_names}
-        state, _ = jax.lax.scan(body, state, None, length=it)
-        return {out_name: state[in_name]}
+        if it > 1:
+            state, _ = jax.lax.scan(body, state, None, length=it - 1)
+        final = _sweep(program, dict(state), params_c, int_width)
+        return {n: final[n] for n in program.output_names}
 
     return fn
 

@@ -98,9 +98,11 @@ def run(
 ) -> dict[str, np.ndarray]:
     """Run the full program (including temporal iteration) on full grids.
 
-    Returns {output_name: array}.  For iterate>1 the single output feeds
-    back into the single input each sweep (reference `iterate` semantics:
-    the stage pipeline is chained N times, SURVEY.md §3(d))."""
+    Returns {output_name: array}.  For iterate>1 the FIRST-declared
+    output feeds back into the first input each sweep (reference
+    `iterate` semantics: the stage pipeline is chained N times, SURVEY.md
+    §3(d)); further outputs take their final-sweep values
+    (docs/SEMANTICS.md "multi-output iterate")."""
     from . import wide128
 
     it = program.iterate if iterate is None else iterate

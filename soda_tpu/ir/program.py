@@ -342,12 +342,17 @@ class StencilProgram:
                     raise ValueError(f"stage {n!r} references undefined param {v.name!r}")
         self.stage_order()  # raises on cycles
         if self.iterate > 1:
-            # feedback pair = FIRST input <- the single output; any further
-            # inputs are sweep-invariant auxiliaries (e.g. a denoise rhs)
-            if len(self.input_names) < 1 or len(self.output_names) != 1:
+            # feedback pair = FIRST input <- FIRST-declared output; any
+            # further inputs are sweep-invariant auxiliaries (a denoise
+            # rhs) and any further outputs take their FINAL-sweep values
+            # (the reference's replication lowering makes the intermediate
+            # sweeps' copies of non-feedback outputs dead stages —
+            # docs/SEMANTICS.md "multi-output iterate")
+            if len(self.input_names) < 1 or len(self.output_names) < 1:
                 raise ValueError(
                     "iterate > 1 requires at least one input (the first is "
-                    "the iterated state) and exactly one output")
+                    "the iterated state) and at least one output (the "
+                    "first feeds back)")
             i, o = self.input_names[0], self.output_names[0]
             if self.tensors[i].type != self.tensors[o].type:
                 raise ValueError(

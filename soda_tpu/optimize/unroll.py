@@ -23,8 +23,11 @@ def unroll_iterate(program: StencilProgram, factor: int | None = None
                    ) -> StencilProgram:
     """Unroll `factor` sweeps (default: all) into chained stage copies.
 
-    Requires iterate > 1 (hence exactly one input / one output).  The
-    result has iterate = program.iterate // factor."""
+    Requires iterate > 1.  The feedback pair is first-input <-
+    FIRST-declared output; with multiple outputs the intermediate sweeps'
+    copies of non-feedback outputs are dead stages (no consumer) and the
+    planner prunes them — exactly the reference's replication semantics.
+    The result has iterate = program.iterate // factor."""
     it = max(program.iterate, 1)
     factor = it if factor is None else factor
     if it <= 1 or factor <= 1:

@@ -15,7 +15,7 @@ import numpy as np
 import pytest
 
 from soda_tpu.frontend.parser import parse, parse_file
-from soda_tpu.interp import numpy_interp
+from soda_tpu.interp import numpy_interp, wide128
 from soda_tpu.backend import xla as xla_backend
 from soda_tpu.backend import pallas as pallas_backend
 from soda_tpu.backend import cpp as cpp_backend
@@ -33,6 +33,13 @@ def make_io(p):
         shape = SHAPES[p.rank]
         if t.is_float:
             ins[n] = rng.standard_normal(shape).astype(t.np_dtype())
+        elif not t.is_float and t.width > 64:
+            # quad-limb range: exercise the high limbs (object arrays of
+            # Python ints — np_dtype() is object for >64)
+            hi = rng.integers(0, 1 << (min(t.width, 127) - 65),
+                              shape).astype(object)
+            lo = rng.integers(0, 1 << 62, shape).astype(object)
+            ins[n] = (hi << 64) | lo
         else:
             ins[n] = rng.integers(0, 250, shape).astype(t.np_dtype())
     ps = {pp.name: rng.standard_normal(pp.shape).astype(pp.type.np_dtype())
@@ -55,6 +62,13 @@ def check(p, got, gold, rtol=None, atol=None):
     atol = (2e-2 if half else 1e-4) if atol is None else atol
     rim = p.valid_rim()
     for k in gold:
+        if not p.tensors[k].type.is_float:
+            # integer outputs are BIT-exact on every path (a float64 cast
+            # would silently truncate >53-bit values — e.g. uint128)
+            assert np.array_equal(interior(got[k], rim),
+                                  interior(gold[k], rim)), \
+                f"{k}: integer output not bit-exact"
+            continue
         g = interior(got[k], rim).astype(np.float64)
         e = interior(gold[k], rim).astype(np.float64)
         assert np.allclose(g, e, rtol=rtol, atol=atol), (
@@ -74,6 +88,12 @@ def test_xla_backend_matches_oracle(path):
 def test_pallas_backend_matches_oracle(path):
     p = parse_file(path)
     ins, ps = make_io(p)
+    if wide128.program_is_128(p):
+        # >64-bit is XLA-backend-only (quad-limb carriers); the Pallas
+        # path's typed rejection names the supported route
+        with pytest.raises(NotImplementedError, match="--backend xla"):
+            pallas_backend.run(p, ins, ps, interpret=True)
+        return
     gold = numpy_interp.run(p, ins, ps)
     # small VMEM budget forces a real multi-block grid even on tiny arrays
     got = pallas_backend.run(p, ins, ps, vmem_budget=4 * 2**20, interpret=True)
@@ -222,6 +242,44 @@ def test_multi_output_program():
     check(p, got, gold)
     got_x = xla_backend.run(p, {"f": x})
     check(p, got_x, gold)
+
+
+def test_multi_output_iterate_paths():
+    """Multi-output iterate (docs/SEMANTICS.md): feedback = first-input <-
+    FIRST-declared output; non-feedback outputs take final-sweep values.
+    Covers the trapezoid (corpus residual2d, iterate=4), the deep-iterate
+    constant-extent fori (>16 sweeps), the unrolled lowering, and the
+    hybrid-rim path (unaligned grid)."""
+    from soda_tpu.optimize.unroll import unroll_iterate
+
+    # trapezoid + unroll on the corpus program
+    p = parse_file(SODA / "residual2d.soda")
+    x = rng.standard_normal((48, 128)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    assert set(gold) == {"t1", "res"}
+    check(p, numpy_interp.run(unroll_iterate(p), {"t0": x}), gold)
+    check(p, pallas_backend.run(p, {"t0": x}, interpret=True), gold)
+    check(p, xla_backend.run(p, {"t0": x}), gold)
+    # hybrid rim: non-8-aligned leading extent keeps pad-free strategies
+    xr = rng.standard_normal((50, 128)).astype(np.float32)
+    gold_r = numpy_interp.run(p, {"t0": xr})
+    check(p, pallas_backend.run(p, {"t0": xr}, interpret=True), gold_r)
+
+    # deep iterate (20 > trapezoid cap) -> constant-extent fori with the
+    # final sweep evaluated outside the loop for the extra output
+    q = parse(
+        "kernel: mo20\niterate: 20\ninput float: a(64, *)\n"
+        "output float: b(0,0) = (a(-1,0) + a(0,0) + a(1,0)) / 3.0f\n"
+        "output float: r(0,0) = b(0,0) - a(0,0)\n")
+    from soda_tpu.plan.planner import plan as make_plan
+    pl = make_plan(q, (64, 128), sweeps=20)
+    assert pl.groups[0].sweeps == 20 and not pl.groups[0].trapezoid
+    xq = rng.standard_normal((64, 128)).astype(np.float32)
+    gold_q = numpy_interp.run(q, {"a": xq})
+    fn = pallas_backend.build_fn(q, the_plan=pl, interpret=True)
+    import jax.numpy as jnp
+    outs = fn({"a": jnp.asarray(xq)}, {})
+    check(q, {k: np.asarray(v) for k, v in outs.items()}, gold_q)
 
 
 def test_unroll_iterate_equivalence():

@@ -171,15 +171,18 @@ def test_syntax_error_names_location():
         parse("kernel blur\ninput float: a(*)\noutput float: b(0) = a(0)\n")
 
 
-def test_multi_output_iterate_rejected():
-    """iterate > 1 with two outputs is a typed error (docs/SEMANTICS.md:
-    the feedback pair is first-input <- single-output; multi-output
-    feedback semantics are deliberately not guessed)."""
+def test_multi_output_iterate_parses():
+    """iterate > 1 with two outputs is SUPPORTED (docs/SEMANTICS.md
+    "multi-output iterate"): the feedback pair is first-input <-
+    FIRST-declared output; further outputs take their final-sweep values.
+    The feedback pair's types must still match."""
     src = ("kernel: mo\niterate: 4\ninput float: a(64, *)\n"
            "output float: b(0,0) = a(-1,0) + a(1,0)\n"
            "output float: c(0,0) = a(0,-1) + a(0,1)\n")
-    with pytest.raises(ValueError, match="iterate > 1 requires"):
-        parse(src)
+    p = parse(src)
+    assert p.output_names == ["b", "c"] and p.iterate == 4
+    with pytest.raises(ValueError, match="matching feedback"):
+        parse(src.replace("output float: b", "output int32: b"))
 
 
 def test_uint256_rejected_with_documented_message():

@@ -137,6 +137,22 @@ def test_sharded_pallas_iterate():
     check(p, got, gold)
 
 
+def test_sharded_multi_output_iterate():
+    """Multi-output iterate over the mesh (docs/SEMANTICS.md): feedback =
+    first-input <- FIRST-declared output, the residual output takes its
+    final-sweep value — on both local backends, with a chunked cadence."""
+    p = parse_file(SODA / "residual2d.soda")
+    x = rng.standard_normal((64, 96)).astype(np.float32)
+    gold = numpy_interp.run(p, {"t0": x})
+    assert set(gold) == {"t1", "res"}
+    got = run_sharded(p, {"t0": x}, axis_sizes=[8])
+    check(p, got, gold)
+    got2 = run_sharded(p, {"t0": x}, axis_sizes=[4], dims=[0],
+                       local_backend="pallas", interpret=True,
+                       sweeps_per_exchange=2)
+    check(p, got2, gold)
+
+
 def test_overlap_mode_equals_synchronous():
     """Comms/compute-overlap mode must give identical results to the
     synchronous path (interior from local data, boundary from the
