@@ -10,8 +10,9 @@ carries
   * ``double`` as a double-single (hi, lo) pair of float32 with
     error-free transforms (Knuth two_sum, Dekker split/two_prod): +,-,*,/
     and sqrt carry ~2^-47 relative accuracy (same class as the XLA
-    backend's f64-emulation wide mode, docs/SEMANTICS.md); transcendental
-    calls fall back to float32 accuracy on the hi component (documented).
+    backend's f64-emulation wide mode, docs/SEMANTICS.md); the C-math
+    surface is DS-accurate too (~1e-12), including sin/cos/tan over the
+    ENTIRE finite range via an integer Payne–Hanek reduction (_ph_reduce).
 
 The evaluator (interp/evaluator.py) is already parameterized by an array
 namespace ``xp``; ``WideXP(jnp)`` plugs in as that namespace so the SAME
@@ -753,6 +754,150 @@ _INV_PIO2_LO = np.float32(2.0 / np.pi - float(_INV_PIO2))
 # exact-reduction range: n ≤ 2^23 keeps every split product exact
 _TRIG_EXACT_LIMIT = np.float32(1.2e7)
 
+# ---- Payne–Hanek quadrant reduction (|x| beyond the Cody–Waite range) ----
+# x·(2/π) mod 8 computed EXACTLY in 131-bit fixed point (3 integer bits
+# for the mod-8 quadrant, _PH_F = 128 fractional bits) from the f32 limb
+# decomposition x = ±m·2^(e-150): the per-limb product m·u needs only the
+# 131-bit window u = (2/π)·2^(e-150) mod 8 of a precomputed (2/π)·2^320
+# integer, extracted by a data-dependent shift (u32 word selects + vector
+# shifts — all Mosaic-lowerable; no gather).  m < 2^24 rides _mul32_wide.
+# Per-limb truncation < 2^-103 absolute in the mod-8 product; both limbs
+# of a DS value are accumulated in INTEGER form before the quadrant is
+# extracted, so near-total cancellation between the limbs costs nothing.
+_PH_B = 320  # bits of 2/π carried (window reads stay inside for all e)
+_PH_F = 128  # fixed-point fractional bits (mod-8 value has 131 bits)
+
+
+def _ph_two_opi_words() -> list[np.uint32]:
+    """floor((2/π)·2^_PH_B) as little-endian u32 words (exact to 1 ulp:
+    derived from the integer-Machin π of _pi_bits with 8 guard bits)."""
+    t = ((2 << (2 * (_PH_B + 8))) // _pi_bits(_PH_B + 8)) >> 8
+    return [np.uint32((t >> (32 * k)) & 0xFFFFFFFF) for k in range(10)]
+
+
+_PH_WORDS = _ph_two_opi_words()
+
+
+def _ph_limb131(xp, v):
+    """131-bit two's-complement fixed point of v·(2/π) mod 8 for ONE f32
+    limb, as five u32 words (little-endian; word 4 holds bits 128..130).
+    Exact to < 2^-103 absolute for any finite v; inf/NaN lanes produce
+    finite garbage the caller must mask (no FP ops here, so no NaN spam)."""
+    if xp is np:
+        bits = np.asarray(v, np.float32).view(np.uint32)
+    else:
+        import jax
+
+        bits = jax.lax.bitcast_convert_type(v, np.uint32)
+    e = (bits >> np.uint32(23)) & np.uint32(0xFF)
+    m = (bits & np.uint32(0x7FFFFF)) | xp.where(
+        e > 0, np.uint32(0x800000), np.uint32(0))
+    e_eff = xp.where(e > 0, e, np.uint32(1))  # denormals: m·2^(1-150)
+    sign = bits >> np.uint32(31)
+    # window start bit of (2/π)·2^_PH_B: u = T >> (_PH_B - _PH_F - (e-150))
+    shift = np.uint32(_PH_B - _PH_F + 150) - e_eff
+    w = shift >> np.uint32(5)
+    b = shift & np.uint32(31)
+
+    def pick(idx):  # T word by small dynamic index (w ∈ [2, 10])
+        acc = xp.zeros_like(idx)
+        for k in range(2, 10):
+            acc = xp.where(idx == np.uint32(k), _PH_WORDS[k], acc)
+        return acc
+
+    p = [pick(w + np.uint32(k)) for k in range(6)]
+    bm = xp.where(b == 0, np.uint32(1), b)  # avoid the UB-style <<32
+    u = []
+    for j in range(5):
+        hi_part = xp.where(b == 0, xp.zeros_like(p[j]),
+                           p[j + 1] << (np.uint32(32) - bm))
+        u.append((p[j] >> b) | hi_part)
+    u[4] = u[4] & np.uint32(7)
+    # R = m·u mod 2^131 (m ≤ 2^24 so every hi word leaves carry room)
+    r = [None] * 5
+    r[0], ch = _mul32_wide(xp, m, u[0])
+    for j in range(1, 4):
+        lo, hi = _mul32_wide(xp, m, u[j])
+        s = lo + ch
+        r[j] = s
+        ch = hi + (s < lo).astype(np.uint32)
+    lo4, _ = _mul32_wide(xp, m, u[4])
+    r[4] = (lo4 + ch) & np.uint32(7)
+    # negative limb: two's-complement negate over the 131 bits
+    c = sign
+    out = []
+    for j in range(5):
+        nt = xp.where(sign != 0, ~r[j], r[j])
+        s = nt + c
+        c = (s < c).astype(np.uint32)
+        out.append(s)
+    out[4] = out[4] & np.uint32(7)
+    return out
+
+
+def _ph_add131(xp, a, b):
+    """Sum of two 131-bit word vectors mod 2^131."""
+    c = xp.zeros_like(a[0])
+    out = []
+    for j in range(5):
+        s = a[j] + b[j]
+        c1 = (s < a[j]).astype(np.uint32)
+        s2 = s + c
+        c2 = (s2 < s).astype(np.uint32)
+        out.append(s2)
+        c = c1 + c2  # mutually exclusive: ≤ 1
+    out[4] = out[4] & np.uint32(7)
+    return out
+
+
+def _ph_reduce(a: W):
+    """Payne–Hanek reduction of a DS value of ANY finite magnitude:
+    n = nearest-multiple count mod 8 (integer-valued f32) and
+    r = x − n·π/2 in DS, |r| ≤ π/4.  Both f32 limbs are reduced in the
+    shared 131-bit integer accumulator, so the remainder keeps full DS
+    RELATIVE accuracy unless the true remainder is below ~2^-80 (no
+    representable DS pair is known to come near that).  Replaces the old
+    f32-accuracy fallback for |x| > _TRIG_EXACT_LIMIT."""
+    xp = a.xp
+    rr = _ph_add131(xp, _ph_limb131(xp, a.a), _ph_limb131(xp, a.b))
+    # round: n = (R + 2^127) >> 128 mod 8; fr = R − n·2^128 ∈ [−1/2, 1/2)
+    s3 = rr[3] + np.uint32(0x80000000)
+    carry = (s3 < rr[3]).astype(np.uint32)
+    n_u = (rr[4] + carry) & np.uint32(7)
+    f4 = (rr[4] - n_u) & np.uint32(7)
+    neg = (f4 >> np.uint32(2)) & np.uint32(1)  # bit 130 = sign of fr
+    cc = neg
+    aw = []
+    for wrd in (rr[0], rr[1], rr[2], rr[3], f4):
+        nt = xp.where(neg != 0, ~wrd, wrd)
+        s = nt + cc
+        cc = (s < cc).astype(np.uint32)
+        aw.append(s)
+    # |fr|·2^128 (words 0..3; word 4 is 0 for |fr| ≤ 2^127) → DS, top-down
+    # in exact u16-half terms (i32-routed converts: Mosaic has no u32↔f32)
+    acc_hi = xp.zeros_like(a.a)
+    acc_lo = xp.zeros_like(a.a)
+    for j in (3, 2, 1, 0):
+        for half, sh in ((aw[j] >> np.uint32(16), 16),
+                         (aw[j] & np.uint32(0xFFFF), 0)):
+            term = half.astype(np.int32).astype(np.float32) * np.float32(
+                2.0 ** (32 * j + sh))
+            s_ = _ds_add(W("d", acc_hi, acc_lo, xp),
+                         W("d", term, xp.zeros_like(term), xp))
+            acc_hi, acc_lo = s_.a, s_.b
+    # the 2^-128 rescale is split as 2^-64 on the value and 2^-64 folded
+    # into the π/2 constant: a fused 2^-128 scale constant is DENORMAL in
+    # f32 and XLA's constant folder flushes it to zero (observed on
+    # XLA:CPU: jit(_ph_reduce) returned r ≡ 0 — the fourth EFT-vs-compiler
+    # gotcha; eager was exact).  Both halves stay normal at every step.
+    sc = np.float32(2.0 ** -64)
+    sgn = xp.where(neg != 0, np.float32(-1.0), np.float32(1.0))
+    fr64 = W("d", acc_hi * sc * sgn, acc_lo * sc * sgn, xp)  # fr·2^64
+    n_f = n_u.astype(np.int32).astype(np.float32)
+    # r = fr·(π/2) in DS; constant = (π/2)·2^-64 as a DS pair (normal)
+    pio2_64 = _ds_const(xp, float(np.float64(np.pi) / 2.0) * 2.0 ** -64)
+    return n_f, _ds_mul(fr64, pio2_64)
+
 
 def _reduce_pio2(a: W):
     """(n, r): n = round(x·2/π) as an integer-valued f32 and
@@ -831,20 +976,35 @@ def _sincos_taylor(r: W) -> tuple[W, W]:
 def _ds_sincos(a: W) -> tuple[W, W]:
     """(sin, cos) in double-single: n = round(x·2/π), r = x − n·π/2 via
     the two-level Cody–Waite cascade (_reduce_pio2, exact for
-    |x| ≤ ~1.2e7), DS Taylor on [-π/4, π/4], quadrant selection by
-    n mod 4.  |x| beyond the reduction range falls back to f32 accuracy
-    (full Payne–Hanek is out of scope; documented)."""
+    |x| ≤ ~1.2e7) or, beyond that, the integer Payne–Hanek reduction
+    (_ph_reduce — DS-accurate over the ENTIRE finite f32-pair range);
+    DS Taylor on [-π/4, π/4], quadrant selection by n mod 4."""
     xp = a.xp
-    # sanitize the masked-out big/inf lanes BEFORE the reduction: their
-    # quotient n would exceed the exact-product range and overflow the
-    # Taylor squares (inf/NaN in discarded lanes still spam warnings and
-    # trip NaN-debug modes); NaN inputs keep flowing through (NaN > lim
-    # is False, so they take the computed path and propagate)
+    # sanitize the masked-out big/inf lanes BEFORE the Cody–Waite
+    # reduction: their quotient n would exceed the exact-product range and
+    # overflow the Taylor squares (inf/NaN in discarded lanes still spam
+    # warnings and trip NaN-debug modes); NaN inputs keep flowing through
+    # (NaN > lim is False, so they take the computed path and propagate)
     big = xp.abs(a.a) > _TRIG_EXACT_LIMIT
     zero = xp.zeros_like(a.a)
-    x32 = a.a + a.b  # original value for the f32 fallback lanes
-    a = W("d", xp.where(big, zero, a.a), xp.where(big, zero, a.b), xp)
-    n, r = _reduce_pio2(a)
+    isinf = xp.isinf(a.a)
+    a_small = W("d", xp.where(big, zero, a.a), xp.where(big, zero, a.b), xp)
+    n_s, r_s = _reduce_pio2(a_small)
+    # Payne–Hanek on the raw limbs: integer-only, so inf/NaN lanes yield
+    # finite garbage (masked below) and small lanes' results are unused.
+    # Cody–Waite keeps the small range: its error is RELATIVE at every
+    # magnitude, while the fixed-point path resolves only 2^-103 absolute.
+    # 0-d traced values (DS scalar constants fold at trace time) keep the
+    # old f32-accuracy fallback: Mosaic rejects the SCALAR bitcast
+    # _ph_limb131 needs — merged at the end via f32_fallback.
+    f32_fallback = getattr(a.a, "ndim", 0) == 0 and xp is not np
+    if f32_fallback:
+        n, r = n_s, r_s
+        x32 = a.a + a.b
+    else:
+        n_b, r_b = _ph_reduce(a)
+        n = xp.where(big, n_b, n_s)
+        r = _pair_select(xp, big, r_b, r_s)
     s, c_ = _sincos_taylor(r)
     # quadrant k = n mod 4 (f32 integer arithmetic is exact here)
     k = n - 4.0 * xp.floor(n * 0.25)
@@ -860,11 +1020,19 @@ def _ds_sincos(a: W) -> tuple[W, W]:
     # cos(x) = sin(x + π/2): shift quadrant by one
     k2 = k + 1.0 - 4.0 * xp.floor((k + 1.0) * 0.25)
     cos_v = sel(k2, s, c_)
-    # fallback beyond the exact-reduction range: f32 accuracy
-    sin_v = W("d", xp.where(big, xp.sin(x32), sin_v.a),
-              xp.where(big, xp.zeros_like(sin_v.b), sin_v.b), xp)
-    cos_v = W("d", xp.where(big, xp.cos(x32), cos_v.a),
-              xp.where(big, xp.zeros_like(cos_v.b), cos_v.b), xp)
+    if f32_fallback:
+        sin_v = W("d", xp.where(big, xp.sin(x32), sin_v.a),
+                  xp.where(big, zero, sin_v.b), xp)
+        cos_v = W("d", xp.where(big, xp.cos(x32), cos_v.a),
+                  xp.where(big, zero, cos_v.b), xp)
+        return sin_v, cos_v
+    # sin/cos(±inf) = NaN: the integer reduction produced finite garbage
+    # for those lanes (NaN inputs propagated through the small path)
+    nan = np.float32(np.nan)
+    sin_v = W("d", xp.where(isinf, nan + zero, sin_v.a),
+              xp.where(isinf, zero, sin_v.b), xp)
+    cos_v = W("d", xp.where(isinf, nan + zero, cos_v.a),
+              xp.where(isinf, zero, cos_v.b), xp)
     return sin_v, cos_v
 
 

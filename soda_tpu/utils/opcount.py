@@ -85,7 +85,10 @@ _WIDE_CMP = 3.0
 _WIDE_CALL = {"sqrt": 38.0, "rsqrt": 77.0,  # sqrt + DS div
               "exp": 475.0, "exp2": 488.0, "log": 441.0, "log2": 454.0,
               "log10": 456.0, "log1p": 788.0, "expm1": 884.0,
-              "sin": 720.0, "cos": 720.0, "tan": 759.0, "tanh": 574.0,
+              # sin/cos/tan re-measured round 4 after the Payne–Hanek
+              # reduction joined the graph (it runs on every lane, merged
+              # by select): ~2600 eqns on the same add-40↔20 scale
+              "sin": 1300.0, "cos": 1300.0, "tan": 1340.0, "tanh": 574.0,
               "sinh": 1444.0, "cosh": 538.0, "atan": 710.0,
               "asin": 1396.0, "acos": 1416.0, "atan2": 787.0,
               "hypot": 118.0, "pow": 938.0}

@@ -529,8 +529,9 @@ def test_ds_inf_nan_semantics():
 def test_ds_trig_accuracy():
     """sin/cos/tan/tanh are DS-accurate (two-level Cody–Waite π/2
     reduction + DS Taylor; tanh via DS exp): ~1e-10 vs the f64 oracle in
-    the exact-reduction range |x| ≤ ~1.2e7; beyond falls back to f32
-    accuracy (full Payne–Hanek is out of scope — documented)."""
+    the Cody–Waite range |x| ≤ ~1.2e7; beyond, the integer Payne–Hanek
+    reduction keeps DS accuracy over the whole finite range (see
+    test_ds_trig_full_range_payne_hanek)."""
     xp = WideXP(np)
 
     def ds(v):
@@ -560,8 +561,8 @@ def test_ds_trig_extended_range():
     sin/cos exact to ~1e-13 ABSOLUTE out to |x| ≈ 1.2e7, including the
     worst case (x an exact multiple of π/2, where r is tiny and the old
     3200-limit single-level reduction would have lost everything);
-    beyond the limit the documented f32 fallback engages, and inf/NaN
-    still produce NaN without polluting finite lanes."""
+    beyond the limit the Payne–Hanek path engages, and inf/NaN still
+    produce NaN without polluting finite lanes."""
     xp = WideXP(np)
 
     def ds(v):
@@ -582,15 +583,96 @@ def test_ds_trig_extended_range():
     xr = back(xw)  # the DS-representable value (48-bit mantissa)
     assert np.abs(back(xp.sin(xw)) - np.sin(xr)).max() < 1e-12
     assert np.abs(back(xp.cos(xw)) - np.cos(xr)).max() < 1e-12
-    # fallback + specials: finite-but-huge lanes get f32 accuracy, not
-    # garbage; inf/NaN propagate as NaN
+    # beyond the Cody–Waite limit the Payne–Hanek path is DS-accurate
+    # (1e9 is exactly representable in f32); inf/NaN propagate as NaN
     with np.errstate(all="ignore"):
         w = ds(np.array([1e9, np.inf, np.nan]))
         s = back(xp.sin(w))
-    # the fallback evaluates sin at the f32-rounded argument (that IS
-    # the documented f32-accuracy contract beyond the limit)
-    assert abs(s[0] - np.sin(np.float64(np.float32(1e9)))) < 1e-4
+    assert abs(s[0] - np.sin(np.float64(np.float32(1e9)))) < 1e-12
     assert np.isnan(s[1]) and np.isnan(s[2])
+
+
+def test_ds_trig_full_range_payne_hanek():
+    """sin/cos keep DS accuracy over the ENTIRE finite f32-pair range
+    (round 4): the 131-bit integer Payne–Hanek reduction (_ph_reduce)
+    replaces the old f32-accuracy fallback beyond |x| ≈ 1.2e7.  Checked
+    against big-integer ground truth (exact rational x · 2/π mod 8 via
+    the same integer-Machin π), including near-multiples of π/2 where the
+    remainder cancels to ~1e-6, across exponents up to f32 max."""
+    import math
+    from fractions import Fraction
+
+    from soda_tpu.interp.wide64 import W as Wc, _pi_bits, _ds_sincos
+
+    B = 500
+    t_int = ((2 << (2 * (B + 8))) // _pi_bits(B + 8)) >> 8
+
+    def true_sincos(hi, lo):
+        xf = Fraction(float(hi)) + Fraction(float(lo))
+        k = xf.denominator.bit_length() - 1
+        qs = (xf.numerator * t_int) % (8 << (B + k))
+        n = round(qs / (1 << (B + k))) % 8
+        fr = (qs - round(qs / (1 << (B + k))) * (1 << (B + k))) \
+            / (1 << (B + k))
+        rr = fr * math.pi / 2
+        v = [math.sin(rr), math.cos(rr), -math.sin(rr), -math.cos(rr)]
+        return v[n % 4], v[(n + 1) % 4]
+
+    r = np.random.default_rng(44)
+    cases = []
+    for _ in range(200):  # full exponent sweep
+        e = int(r.integers(24, 128))
+        hi = np.float32(r.standard_normal() * 2.0 ** e)
+        lo = np.float32(r.standard_normal() * abs(float(hi)) * 2.0 ** -25)
+        cases.append((hi, lo))
+    for _ in range(200):  # DS pairs near k·π/2: deep cancellation
+        kk = int(r.integers(1, 2 ** 28))
+        t = kk * math.pi / 2.0
+        hi = np.float32(t)
+        cases.append((hi, np.float32(t - float(hi))))
+    his = np.array([c[0] for c in cases], np.float32)
+    los = np.array([c[1] for c in cases], np.float32)
+    sv, cv = _ds_sincos(Wc("d", his, los, np))
+    for i, (hi, lo) in enumerate(cases):
+        st, ct = true_sincos(hi, lo)
+        assert abs(float(sv.a[i]) + float(sv.b[i]) - st) < 1e-13, \
+            (hi, lo, st, float(sv.a[i]) + float(sv.b[i]))
+        assert abs(float(cv.a[i]) + float(cv.b[i]) - ct) < 1e-13
+
+    # traced path agrees with numpy to DS precision (1-ulp lo-limb FMA
+    # contraction is the known, gated jit channel)
+    import jax
+    import jax.numpy as jnp
+
+    def f(h, lo_):
+        s, c = _ds_sincos(Wc("d", h, lo_, jnp))
+        return s.a, s.b, c.a, c.b
+
+    sh, sl, ch_, cl = (np.asarray(v, np.float64)
+                       for v in jax.jit(f)(jnp.asarray(his),
+                                           jnp.asarray(los)))
+    assert np.abs(sh + sl - (sv.a.astype(np.float64) + sv.b)).max() < 1e-14
+    assert np.abs(ch_ + cl - (cv.a.astype(np.float64) + cv.b)).max() < 1e-14
+
+
+def test_ds_trig_big_args_through_pallas():
+    """The Payne–Hanek path lowers through the Pallas kernel machinery
+    (vector bitcasts, u32 word selects, dynamic shifts): a double stencil
+    with sin/cos on arguments up to ~1e18 matches the f64 oracle.  The
+    inputs are constructed as EXACT f32-pair sums (lo within [2^-29,
+    2^-25] of hi) so the f64 oracle argument equals the in-kernel DS pair
+    bit-for-bit — at these magnitudes an input off by even one f64 ulp
+    shifts the reduced argument by ~100 radians."""
+    src = ("kernel: ptrigbig\ninput double: a(128, *)\n"
+           "output double: out(0,0) = sin(a(0,0)) + cos(a(0,1)) * 0.5\n")
+    p = parse(src)
+    hi = (rng.standard_normal((48, 128)) * 1e18).astype(np.float32)
+    lo = (hi * rng.uniform(2.0 ** -29, 2.0 ** -25,
+                           (48, 128))).astype(np.float32)
+    x = hi.astype(np.float64) + lo.astype(np.float64)
+    gold = numpy_interp.run(p, {"a": x})["out"]
+    got = pb.run(p, {"a": x}, interpret=True)["out"]
+    assert np.abs(gold - got).max() < 1e-9
 
 
 def test_ds_trig_through_pallas():
