@@ -151,6 +151,40 @@ def run_at_size(rng) -> int:
     return failures
 
 
+def run_host_tile_gate(rng) -> int:
+    """Host-side sequential tiling (parallel/host_tile.py — the
+    single-chip oversize-grid path) at production size on hardware:
+    overlapping tiles through the compiled Pallas path, stitched on the
+    host, oracle-checked.  Tiles are chosen so the halo machinery and
+    tile seams are genuinely exercised (grid split both ways)."""
+    from soda_tpu.parallel.host_tile import run_host_tiled
+
+    cases = [
+        ("jacobi3d", (512, 512, 512), (256, 256, 512), None),
+        ("jacobi2d", (2048, 2048), (1024, 1024), None),   # trapezoid tiles
+        ("accum64", (1024, 2048), (512, 1024), None),     # wide pair tiles
+    ]
+    failures = 0
+    for name, shape, tiles, spp in cases:
+        p = parse_file(SODA / f"{name}.soda")
+        label = f"{name} {'x'.join(map(str, shape))} host-tiled " \
+                f"{'x'.join(map(str, tiles))}"
+        ins, ps = _rand_inputs(p, shape, rng)
+        gold = numpy_interp.run(p, ins, ps)
+        try:
+            got = run_host_tiled(p, ins, ps, tiles=tiles,
+                                 sweeps_per_pass=spp)
+        except Exception as e:  # noqa: BLE001
+            print(f"{label}: COMPILE/RUN FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}")
+            failures += 1
+            continue
+        ok = _compare(p, got, gold, p.valid_rim())
+        print(f"{label}: {'OK' if ok else 'MISMATCH'}")
+        failures += 0 if ok else 1
+    return failures
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small-only", action="store_true",
@@ -246,6 +280,8 @@ def main() -> int:
     if not args.small_only:
         print("--- at-size strategy gate (production shapes) ---")
         failures += run_at_size(rng)
+        print("--- host-tiling gate (oversize-grid path) ---")
+        failures += run_host_tile_gate(rng)
     return 1 if failures else 0
 
 

@@ -159,3 +159,23 @@ def test_lb_engine_ep_report(capsys):
         assert "100.0%" in out
     finally:
         config.set_lb_engine(None)
+
+
+def test_host_tile_run_and_report(capsys):
+    rc = main([str(SODA / "jacobi2d.soda"), "--grid-shape", "60,180",
+               "--host-tile", "40,64", "--interpret", "--run", "--report"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "host tiling: 2x3 tiles of 40x64" in out
+    assert "read amplification" in out
+    assert "PASS" in out
+
+
+def test_host_tile_auto(capsys):
+    # budget small enough to force tiling of the 64-row dim
+    rc = main([str(SODA / "blur.soda"), "--grid-shape", "64,128",
+               "--host-tile", "auto", "--hbm-budget", str(40 * 2**10),
+               "--interpret", "--run"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PASS" in out

@@ -381,3 +381,35 @@ def test_fuzz_mixed_sign_chains(seed):
     assert np.allclose(interior(got, rim).astype(np.float64),
                        ga.astype(np.float64),
                        rtol=1e-3, atol=1e-3), f"mixed-sign:\n{src}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_host_tiling(seed):
+    """Random programs (incl. mixed-sign chains) through the host-side
+    sequential tiling path with random tile shapes and pass cadences —
+    guards the tile halo/stitch geometry (parallel/host_tile.py)."""
+    from soda_tpu.parallel.host_tile import run_host_tiled
+
+    rng = random.Random(2500 + seed)
+    rank = rng.choice([2, 3])
+    src = (gen_signed_chain(rng, rank) if rng.random() < 0.5
+           else gen_program(rng, rank))
+    p = parse(src)
+    it = rng.choice([1, 1, 2, 4])
+    shape = (64, 96) if rank == 2 else (24, 32, 64)
+    tiles = tuple(rng.choice([0, n // 2, n // 3 + 1, n])
+                  for n in shape[:-1]) + (
+        rng.choice([0, shape[-1], shape[-1] // 2]),)
+    spp = rng.choice([None, 1, it])
+    x = make_input(p, shape, np.random.default_rng(seed))
+    gold = numpy_interp.run(p, {"a": x}, iterate=it)["out"]
+    rim = p.valid_rim(iterate=it)
+    ga = interior(gold, rim)
+    if ga.size == 0:
+        pytest.skip("rim exceeds grid")
+    got = run_host_tiled(p, {"a": x}, tiles=tiles, iterate=it,
+                         sweeps_per_pass=spp, interpret=True,
+                         vmem_budget=2 * 2**20)["out"]
+    assert np.allclose(interior(got, rim).astype(np.float64),
+                       ga.astype(np.float64), rtol=1e-3, atol=1e-3), \
+        f"host-tile mismatch (tiles={tiles}, spp={spp}, it={it}):\n{src}"

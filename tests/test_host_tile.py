@@ -1,0 +1,149 @@
+"""Host-side sequential tiling (parallel/host_tile.py) vs the NumPy
+oracle: the single-chip answer to grids larger than device HBM — the
+reference host's overlapping-tile loop (SURVEY.md §2.1 host-codegen row).
+
+Runs in Pallas interpret mode on CPU; the at-size hardware pass lives in
+scripts/tpu_check.py."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from soda_tpu.frontend.parser import parse_file
+from soda_tpu.interp import numpy_interp
+from soda_tpu.parallel.host_tile import (
+    choose_host_tiles,
+    normalize_tiles,
+    plan_host_tiling,
+    run_host_tiled,
+)
+
+SODA = pathlib.Path(__file__).parent / "soda"
+rng = np.random.default_rng(7)
+
+
+def _inputs(p, gs):
+    ins = {}
+    for n in p.input_names:
+        t = p.tensors[n].type
+        if t.is_float:
+            ins[n] = rng.standard_normal(gs).astype(t.np_dtype())
+        elif t.kind == "int":
+            hi = 1 << (40 if t.width > 32 else min(t.width - 1, 12))
+            ins[n] = rng.integers(-hi, hi, gs).astype(t.np_dtype())
+        else:
+            hi = 1 << (40 if t.width > 32 else min(t.width, 12))
+            ins[n] = rng.integers(0, hi, gs).astype(t.np_dtype())
+    ps = {q.name: rng.standard_normal(q.shape).astype(q.type.np_dtype())
+          for q in p.params.values()}
+    return ins, ps
+
+
+def _check(p, got, gold, rim=None):
+    rim = p.valid_rim() if rim is None else rim
+    for k in gold:
+        t = p.tensors[k].type
+        a, b = np.asarray(got[k]), np.asarray(gold[k])
+        if rim:
+            sl = tuple(slice(rim, -rim) for _ in range(a.ndim))
+            a, b = a[sl], b[sl]
+        assert a.size, f"no interior left for {k} at rim {rim}"
+        if not t.is_float:
+            assert np.array_equal(a, b), (
+                f"{k}: max diff "
+                f"{np.abs(a.astype(np.float64) - b.astype(np.float64)).max()}")
+        else:
+            tol = 2e-2 if t.width == 16 else 1e-4
+            assert np.allclose(a.astype(np.float64), b.astype(np.float64),
+                               rtol=tol, atol=tol), (
+                f"{k}: max diff "
+                f"{np.abs(a.astype(np.float64) - b.astype(np.float64)).max()}")
+
+
+CASES = [
+    # (program, grid, tiles, kwargs)
+    ("blur.soda", (70, 200), (32, 96), {}),            # single stage 2-D
+    ("sobel2d.soda", (50, 170), (30, 90), {}),         # multi-stage DAG
+    ("jacobi2d.soda", (60, 180), (40, 64), {}),        # iterate, 1 pass
+    ("jacobi2d.soda", (60, 180), (40, 64),
+     dict(sweeps_per_pass=2)),                         # chunked passes
+    ("jacobi3d.soda", (20, 30, 140), (8, 16, 70), {}),  # 3-D
+    ("denoise3d.soda", (16, 24, 140), (8, 12, 70), {}),  # 3-D multi-stage
+    ("residual2d.soda", (40, 150), (20, 80), {}),      # multi-output iterate
+    ("smooth1d.soda", (700,), (256,), {}),             # rank-1 lift
+    ("accum64.soda", (48, 160), (24, 80), {}),         # wide pair carriers
+    ("smooth_half.soda", (48, 160), (24, 80), {}),     # f16 bit streaming
+]
+
+
+@pytest.mark.parametrize("name,gs,tiles,kw", CASES,
+                         ids=[f"{c[0]}-{c[3]}" for c in CASES])
+def test_host_tile_matches_oracle(name, gs, tiles, kw):
+    p = parse_file(SODA / name)
+    ins, ps = _inputs(p, gs)
+    got = run_host_tiled(p, ins, ps, tiles=tiles, interpret=True, **kw)
+    gold = numpy_interp.run(p, ins, ps)
+    _check(p, got, gold)
+
+
+def test_single_pass_cadence_bit_exact_everywhere():
+    """sweeps_per_pass=1 matches the oracle on the WHOLE grid for a
+    single-stage integer program (same contract as the mesh's
+    exchange-every-sweep — docs/SEMANTICS.md)."""
+    p = parse_file(SODA / "erode2d.soda")
+    gs = (40, 150)
+    ins, ps = _inputs(p, gs)
+    got = run_host_tiled(p, ins, ps, tiles=(16, 64), sweeps_per_pass=1,
+                         interpret=True)
+    gold = numpy_interp.run(p, ins, ps)
+    _check(p, got, gold, rim=0)
+
+
+def test_uneven_edge_tiles():
+    """Tile sizes that do not divide the grid: edge tiles clip."""
+    p = parse_file(SODA / "blur.soda")
+    gs = (67, 201)
+    ins, ps = _inputs(p, gs)
+    got = run_host_tiled(p, ins, ps, tiles=(32, 96), interpret=True)
+    gold = numpy_interp.run(p, ins, ps)
+    _check(p, got, gold)
+
+
+def test_plan_geometry():
+    p = parse_file(SODA / "jacobi2d.soda")  # iterate 8, radius 1
+    tiles, halos, ext, nt, nf, passes, ov = plan_host_tiling(
+        p, (64, 256), (32, 128))
+    assert tiles == (32, 128) and nt == (2, 2)
+    assert halos == ((8, 8), (8, 8))  # creep 1 x 8 fused sweeps
+    assert ext == (48, 144)
+    assert nf == 8 and passes == 1
+    assert ov == pytest.approx(48 * 144 / (32 * 128))
+    # chunked: halo shrinks with the per-pass sweep count
+    _, halos2, _, _, nf2, passes2, _ = plan_host_tiling(
+        p, (64, 256), (32, 128), sweeps_per_pass=2)
+    assert halos2 == ((2, 2), (2, 2)) and nf2 == 2 and passes2 == 4
+    # untiled dims carry no halo
+    _, halos3, _, _, _, _, _ = plan_host_tiling(p, (64, 256), (32, 0))
+    assert halos3 == ((8, 8), (0, 0))
+    with pytest.raises(ValueError):
+        plan_host_tiling(p, (64, 256), (32, 128), sweeps_per_pass=3)
+
+
+def test_choose_host_tiles_fits_budget():
+    p = parse_file(SODA / "jacobi3d.soda")
+    gs = (2048, 2048, 2048)  # 32 GiB f32 x (in+out): cannot fit a v5e
+    tiles = choose_host_tiles(p, gs, 12 * 2**30)
+    assert tiles[-1] == gs[-1]  # lane dim never cut
+    _, _, ext, _, _, _, _ = plan_host_tiling(p, gs, tiles)
+    cells = int(np.prod(ext))
+    assert cells * 4 * 2 * 2 <= 12 * 2**30
+    # small grids stay untiled
+    assert choose_host_tiles(p, (128, 128, 128), 12 * 2**30) == \
+        (128, 128, 128)
+
+
+def test_normalize_tiles_validation():
+    assert normalize_tiles((64, 256), (0, 300)) == (64, 256)
+    with pytest.raises(ValueError):
+        normalize_tiles((64, 256), (32,))
