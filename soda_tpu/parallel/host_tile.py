@@ -196,6 +196,19 @@ def run_host_tiled(program: StencilProgram, inputs, params=None, *,
         host_out = {
             n: np.empty(grid_shape, dtype=program.tensors[n].type.np_dtype())
             for n in program.output_names}
+        # two tiles in flight: fn() dispatches asynchronously, so tile
+        # k+1's host slicing + H2D transfer and kernel launch overlap
+        # with materializing tile k's outputs (finalize_outputs blocks on
+        # the device value) — the host-tiling analog of the reference
+        # host's overlapped DMA.  Bounds device memory at ~2 tiles.
+        pending = None  # (dst, src, device outputs)
+
+        def _flush(p):
+            dst, src, douts = p
+            nouts = pb.finalize_outputs(program, douts)
+            for n in program.output_names:
+                host_out[n][dst] = nouts[n][src]
+
         for idx in itertools.product(*(range(k) for k in n_tiles)):
             starts = tuple(i * t for i, t in zip(idx, tiles))
             tile_in = {
@@ -209,7 +222,6 @@ def run_host_tiled(program: StencilProgram, inputs, params=None, *,
             else:
                 outs = fn({k: jnp.asarray(v) for k, v in tile_in.items()},
                           wparams)
-            outs = pb.finalize_outputs(program, outs)
             # stitch the tile interior (edge tiles: clip to the real grid)
             dst = tuple(
                 slice(s, min(s + t, n))
@@ -217,8 +229,10 @@ def run_host_tiled(program: StencilProgram, inputs, params=None, *,
             src = tuple(
                 slice(lo, lo + (sl.stop - sl.start))
                 for (lo, _), sl in zip(halos, dst))
-            for n in program.output_names:
-                host_out[n][dst] = outs[n][src]
+            if pending is not None:
+                _flush(pending)
+            pending = (dst, src, outs)
+        _flush(pending)
         if passes > 1:
             # feedback between passes: first output -> first input on the
             # host; auxiliary inputs carry over (same convention as
