@@ -417,7 +417,29 @@ def main(argv=None) -> int:
             profile_ctx.__enter__()
 
         t0 = time.perf_counter()
-        if args.mesh:
+        if args.host_tile:
+            from ..parallel.host_tile import run_host_tiled
+            mesh_kw = {}
+            if args.mesh:
+                # host tiles x mesh shards: each tile runs sharded over
+                # the mesh (grids larger than the whole pod's HBM)
+                from ..parallel.mesh import make_mesh, set_link_model
+                if args.link_model:
+                    set_link_model(args.link_model)
+                sizes, names, links = _parse_mesh(args.mesh)
+                mesh_kw = dict(
+                    mesh=make_mesh(sizes, names), link_classes=links,
+                    sweeps_per_exchange=_parse_cadence(
+                        args.sweeps_per_exchange, names),
+                    local_backend=args.mesh_local_backend,
+                    overlap=args.mesh_overlap)
+            outs = run_host_tiled(
+                program, ins, ps, tiles=_host_tiles(program, grid_shape, args),
+                sweeps_per_pass=args.host_tile_sweeps,
+                interpret=True if args.interpret else "auto",
+                vmem_budget=args.vmem_budget, sweeps=args.sweeps,
+                block_override=args.block, **mesh_kw)
+        elif args.mesh:
             from ..parallel.mesh import run_sharded, set_link_model
             if args.link_model:
                 set_link_model(args.link_model)
@@ -431,14 +453,6 @@ def main(argv=None) -> int:
                                # same auto-detection as --backend pallas:
                                # off-TPU hosts run the Mosaic interpreter
                                interpret=True if args.interpret else "auto")
-        elif args.host_tile:
-            from ..parallel.host_tile import run_host_tiled
-            outs = run_host_tiled(
-                program, ins, ps, tiles=_host_tiles(program, grid_shape, args),
-                sweeps_per_pass=args.host_tile_sweeps,
-                interpret=True if args.interpret else "auto",
-                vmem_budget=args.vmem_budget, sweeps=args.sweeps,
-                block_override=args.block)
         elif args.backend == "pallas":
             from ..backend import pallas as pb
             # --interpret forces the interpreter; otherwise let the backend

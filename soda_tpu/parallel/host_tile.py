@@ -135,10 +135,19 @@ def choose_host_tiles(program: StencilProgram, grid_shape,
 def run_host_tiled(program: StencilProgram, inputs, params=None, *,
                    tiles, grid_shape=None, sweeps_per_pass=None,
                    iterate=None, interpret="auto", jit=True,
+                   mesh=None, mesh_dims=None, sweeps_per_exchange=None,
+                   local_backend="xla", overlap=False, link_classes=None,
                    **plan_kwargs) -> dict:
     """Execute `program` over a grid held in HOST memory by looping
     overlapping tiles through the single-chip Pallas path.  Returns
-    numpy outputs in declared dtypes (same surface as pallas.run)."""
+    numpy outputs in declared dtypes (same surface as pallas.run).
+
+    With `mesh` (a jax.sharding.Mesh), each tile runs SHARDED over the
+    mesh (`parallel/mesh.py` — ppermute halo exchange inside the tile):
+    the full 3-level decomposition for grids larger than the whole POD's
+    HBM — host tiles -> mesh shards -> VMEM blocks.  Stitched interiors
+    sit at least `creep × nf` inside their tile, outside the mesh
+    cadence's rim-deviation zone, so the contract is unchanged."""
     import jax
     import jax.numpy as jnp
 
@@ -174,7 +183,19 @@ def run_host_tiled(program: StencilProgram, inputs, params=None, *,
     kernel_sweeps = plan_kwargs.pop("sweeps", None)
     it_arg = None if (iterate is None and nf == max(program.iterate, 1)) \
         else nf
-    if kernel_sweeps:
+    if mesh is not None:
+        # tiles run sharded over the mesh; the sharded fn owns its own
+        # wide plane-pair boundary and pad-to-shard of the ext shape
+        from .mesh import build_sharded_fn
+        fn = build_sharded_fn(
+            program, mesh, dims=mesh_dims, iterate=nf,
+            sweeps_per_exchange=sweeps_per_exchange,
+            grid_shape=ext_shape, local_backend=local_backend,
+            interpret=interpret, overlap=overlap,
+            link_classes=link_classes)
+        if jit and not wide:
+            fn = jax.jit(fn)
+    elif kernel_sweeps:
         from ..plan.planner import plan as make_plan
         the_plan = make_plan(program, ext_shape,
                              sweeps=min(kernel_sweeps, nf), **plan_kwargs)
@@ -184,9 +205,10 @@ def run_host_tiled(program: StencilProgram, inputs, params=None, *,
         fn = pb.build_fn(program, grid_shape=ext_shape, iterate=it_arg,
                          interpret=interpret, jit_per_group="auto",
                          **plan_kwargs)
-    if jit and not getattr(fn, "inner_jitted", False):
+    if mesh is None and jit and not getattr(fn, "inner_jitted", False):
         fn = jax.jit(fn)
-    wparams = pb.to_wide_params(program, params) if wide else params
+    wparams = pb.to_wide_params(program, params) if (wide and mesh is None) \
+        else params
 
     in_name = program.input_names[0]
     out0 = program.output_names[0]
@@ -218,7 +240,11 @@ def run_host_tiled(program: StencilProgram, inputs, params=None, *,
                     ext_shape)
                 for n in program.input_names}
             if wide:
-                outs = fn(pb.to_wide_values(program, tile_in), wparams)
+                # mesh: the sharded fn splits/merges 64-bit planes on the
+                # host itself (numpy in, numpy out)
+                outs = (fn(tile_in, params) if mesh is not None
+                        else fn(pb.to_wide_values(program, tile_in),
+                                wparams))
             else:
                 outs = fn({k: jnp.asarray(v) for k, v in tile_in.items()},
                           wparams)

@@ -147,3 +147,36 @@ def test_normalize_tiles_validation():
     assert normalize_tiles((64, 256), (0, 300)) == (64, 256)
     with pytest.raises(ValueError):
         normalize_tiles((64, 256), (32,))
+
+
+def test_host_tile_over_mesh():
+    """Host tiles x mesh shards (3-level decomposition): each tile runs
+    sharded over the simulated 8-device mesh with ppermute halo exchange
+    inside the tile."""
+    from soda_tpu.parallel.host_tile import run_host_tiled
+    from soda_tpu.parallel.mesh import make_mesh
+
+    p = parse_file(SODA / "jacobi2d.soda")
+    gs = (64, 192)
+    ins, ps = _inputs(p, gs)
+    mesh = make_mesh([4], ["x"])
+    got = run_host_tiled(p, ins, ps, tiles=(32, 96), mesh=mesh,
+                         interpret=True)
+    gold = numpy_interp.run(p, ins, ps)
+    _check(p, got, gold)
+
+
+def test_host_tile_over_mesh_wide():
+    """Wide pair carriers through the mesh-composed tile path (the
+    sharded fn owns the 64-bit plane boundary)."""
+    from soda_tpu.parallel.host_tile import run_host_tiled
+    from soda_tpu.parallel.mesh import make_mesh
+
+    p = parse_file(SODA / "accum64.soda")
+    gs = (48, 160)
+    ins, ps = _inputs(p, gs)
+    mesh = make_mesh([2, 2], ["x", "y"])
+    got = run_host_tiled(p, ins, ps, tiles=(24, 80), mesh=mesh,
+                         interpret=True)
+    gold = numpy_interp.run(p, ins, ps)
+    _check(p, got, gold)
