@@ -22,3 +22,19 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    The full suite jits thousands of kernels in one process; without
+    eviction the executable caches grow to ~100 GB by the tail modules
+    and the box starts thrashing (observed round 5 on the 1-CPU/125 GB
+    host: a wide-fuzz test that takes seconds in isolation sat for an
+    hour at 99% memory).  Per-module clearing bounds the growth; the
+    few cross-module recompiles are noise next to that."""
+    yield
+    jax.clear_caches()

@@ -281,6 +281,7 @@ def test_fuzz_wide_pallas_bit_exact(seed):
     oracle, bit-exact."""
     r = random.Random(7000 + seed)
     terms = []
+    used_div = False
     for _ in range(r.randint(2, 5)):
         o = f"a({r.randint(-2, 2)}, {r.randint(-2, 2)})"
         k = r.random()
@@ -290,7 +291,14 @@ def test_fuzz_wide_pallas_bit_exact(seed):
             terms.append(f"({o} >> {r.randint(0, 40)})")
         elif k < 0.5:
             terms.append(f"max({o}, a({r.randint(-2, 2)}, 0))")
-        elif k < 0.6:
+        elif k < 0.6 and not used_div:
+            # at most ONE general wide division per program: each one
+            # unrolls a 64-step pair long division, and XLA:CPU compile
+            # time explodes superlinearly in their count (TODO.md; ~90 s
+            # at 4 divisions on a multicore box, ~an hour for seed 4's
+            # three divisions on the 1-CPU round-5 host).  One per
+            # program keeps the division path covered across seeds.
+            used_div = True
             terms.append(f"{o} / (a(0, {r.randint(-2, 2)})"
                          f" % int64({r.randint(100, 10**6)})"
                          f" + int64({10**7}))")
