@@ -48,61 +48,15 @@ AT_SIZE = [
 ]
 
 
-def _rand_inputs(p, shape, rng):
-    ins = {}
-    for n in p.input_names:
-        t = p.tensors[n].type
-        if t.is_float:
-            ins[n] = rng.standard_normal(shape).astype(t.np_dtype())
-        elif t.kind == "int" and t.width > 64:
-            # quad-limb range (object arrays of Python ints): exercise
-            # the high limbs on the XLA carrier path
-            hi = rng.integers(0, 1 << (min(t.width, 127) - 65),
-                              shape).astype(object)
-            lo = rng.integers(0, 1 << 62, shape).astype(object)
-            ins[n] = (hi << 64) | lo
-        elif t.kind == "int" and t.width > 32:
-            # exercise the pair-carrier path past int32
-            ins[n] = rng.integers(-(1 << 40), 1 << 40, shape).astype(
-                t.np_dtype())
-        else:
-            ins[n] = rng.integers(0, 250, shape).astype(t.np_dtype())
-    ps = {pp.name: rng.standard_normal(pp.shape).astype(pp.type.np_dtype())
-          for pp in p.params.values()}
-    return ins, ps
+# one definition of the input distributions and comparison gates,
+# shared with the CPU suite (review r5: they had started to diverge —
+# the f32-libm 2e-3 gate existed only here)
+from soda_tpu.utils.testing import compare_outputs as _compare_impl
+from soda_tpu.utils.testing import rand_inputs as _rand_inputs
 
 
 def _compare(p, got, gold, rim):
-    """Rim-excluded comparison: ints BIT-exact, floats at tolerance
-    (f16-scale for half programs — docs/SEMANTICS.md)."""
-    def interior(a):
-        if rim == 0:
-            return a
-        return a[tuple(slice(rim, -rim) for _ in range(a.ndim))]
-
-    half = any(t.type.is_float and t.type.width == 16
-               for t in p.tensors.values())
-    # f32 libm programs: Mosaic lowers transcendentals to low-precision
-    # vector approximations (measured on v5e this round, max relative
-    # error vs numpy: tanh 8e-5, log1p 2.6e-4, log10 5e-5, exp 5e-6;
-    # sqrt/div stay exact) — the 1e-4 gate is tighter than the
-    # hardware's own math.  2e-3 covers a 3-stage chain with headroom.
-    # f64 (DS) programs keep 1e-4: their transcendentals are composed
-    # in-kernel (~1e-12) and never touch the approximations.
-    f32_libm = (p.uses_libm_transcendentals()
-                and p.max_float_width() == 32)
-    tol = 2e-2 if half else (2e-3 if f32_libm else 1e-4)
-    for k in gold:
-        a, b = interior(got[k]), interior(gold[k])
-        if a.size == 0:
-            return False  # refuse a vacuous pass on an all-rim grid
-        if not p.tensors[k].type.is_float:
-            if not np.array_equal(a, b):
-                return False
-        elif not np.allclose(a.astype(np.float64), b.astype(np.float64),
-                             rtol=tol, atol=tol):
-            return False
-    return True
+    return _compare_impl(p, got, gold, rim)
 
 
 def run_at_size(rng) -> int:
@@ -215,23 +169,7 @@ def main() -> int:
     failures = 0
     for f in sorted(glob.glob(str(SODA / "*.soda"))):
         p = parse_file(f)
-        ins = {}
-        for n in p.input_names:
-            t = p.tensors[n].type
-            shape = SHAPES[p.rank]
-            if t.is_float:
-                ins[n] = rng.standard_normal(shape).astype(t.np_dtype())
-            elif t.kind == "int" and t.width > 64:
-                # quad-limb carriers (XLA backend route below): big
-                # Python ints so the high limbs are exercised
-                hi = rng.integers(0, 1 << (min(t.width, 127) - 65),
-                                  shape).astype(object)
-                lo = rng.integers(0, 1 << 62, shape).astype(object)
-                ins[n] = (hi << 64) | lo
-            else:
-                ins[n] = rng.integers(0, 250, shape).astype(t.np_dtype())
-        ps = {pp.name: rng.standard_normal(pp.shape).astype(pp.type.np_dtype())
-              for pp in p.params.values()}
+        ins, ps = _rand_inputs(p, SHAPES[p.rank], rng)
         gold = numpy_interp.run(p, ins, ps)
         # oracle chain: TPU output must also match the NATIVE C++ golden
         # runner (which is bit-exact vs the NumPy oracle — enforced here)

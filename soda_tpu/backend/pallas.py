@@ -1213,9 +1213,20 @@ def build_fn(program: StencilProgram, the_plan: Plan | None = None,
     if the_plan is None:
         if grid_shape is None:
             raise ValueError("need grid_shape or a Plan")
-        the_plan = make_plan(program, grid_shape, sweeps=None if iterate is None else iterate,
+        # the planner snaps fused sweeps to a divisor of the EFFECTIVE
+        # iterate (auto-selection included); callers may pass `sweeps`
+        # through plan_kwargs to request a kernel depth
+        the_plan = make_plan(program, grid_shape, iterate=iterate,
                              **plan_kwargs)
     grid_shape = the_plan.grid_shape
+    if len(the_plan.groups) == 1 and it % the_plan.groups[0].sweeps != 0:
+        # a caller-provided plan whose kernel depth does not divide the
+        # executed sweep count would silently under-execute in the chunk
+        # loop below — refuse (review r5)
+        raise ValueError(
+            f"plan fuses {the_plan.groups[0].sweeps} sweeps per call, "
+            f"which does not divide the executed iterate {it}; re-plan "
+            f"with iterate={it} (plan(iterate=...)) or pick a divisor")
     group_fns = [
         build_group_fn(program, g, grid_shape, interpret=interpret)
         for g in the_plan.groups

@@ -321,10 +321,27 @@ def main(argv=None) -> int:
     logger.info("parsed program:\n%s", program.describe())
     grid_shape = _grid_shape(program, args)
 
-    the_plan = make_plan(
-        program, grid_shape, vmem_budget=args.vmem_budget,
-        sweeps=args.sweeps, block_override=args.block,
-        updates_per_cell=updates_per_cell)
+    host_tiling = None
+    if args.host_tile:
+        # plan (and report) the PER-TILE kernel at the halo-extended
+        # tile shape — the full-grid plan would describe an execution
+        # that never runs (and may not even fit HBM, which is the point
+        # of the flag)
+        from ..parallel.host_tile import plan_host_tiling
+        host_tiling = plan_host_tiling(
+            program, grid_shape, _host_tiles(program, grid_shape, args),
+            args.host_tile_sweeps)
+        _t, _h, ext_shape, _nt, nf, _passes, _ov = host_tiling
+        the_plan = make_plan(
+            program, ext_shape, vmem_budget=args.vmem_budget,
+            sweeps=args.sweeps,
+            iterate=None if nf == max(program.iterate, 1) else nf,
+            block_override=args.block, updates_per_cell=updates_per_cell)
+    else:
+        the_plan = make_plan(
+            program, grid_shape, vmem_budget=args.vmem_budget,
+            sweeps=args.sweeps, block_override=args.block,
+            updates_per_cell=updates_per_cell)
     logger.info("%s", the_plan.describe())
 
     did_something = False
@@ -356,16 +373,14 @@ def main(argv=None) -> int:
             inert.append(f"cluster {program.cluster}")
         for line in inert:
             print(f"  accepted-inert: {line}")
-        if args.host_tile:
-            from ..parallel.host_tile import plan_host_tiling
-            tiles, halos, ext, nt, nf, passes, ov = plan_host_tiling(
-                program, grid_shape, _host_tiles(program, grid_shape, args),
-                args.host_tile_sweeps)
+        if host_tiling is not None:
+            tiles, halos, ext, nt, nf, passes, ov = host_tiling
             print(f"  host tiling: {'x'.join(map(str, nt))} tiles of "
                   f"{'x'.join(map(str, tiles))} (+halo -> "
                   f"{'x'.join(map(str, ext))}), {passes} pass(es) x {nf} "
                   f"sweep(s); read amplification {ov:.3f}x per pass "
-                  f"(halo recompute, as in the reference host)")
+                  f"(halo recompute, as in the reference host); kernel "
+                  f"analysis above is PER TILE at the extended shape")
 
     if args.cpp_golden or args.xocl_kernel or args.xocl_host:
         did_something = True
@@ -407,6 +422,13 @@ def main(argv=None) -> int:
 
     if args.run or args.benchmark:
         did_something = True
+        if args.benchmark and (args.mesh or args.host_tile
+                               or args.backend == "numpy"):
+            # reject from argv BEFORE the (possibly hours-long) run
+            raise SystemExit(
+                "--benchmark supports --backend pallas|xla (got "
+                f"{'mesh' if args.mesh else 'host-tile' if args.host_tile else args.backend}); "
+                "run the single-chip backend you want timed")
         ins, ps = _random_inputs(program, grid_shape, args.seed)
         from ..interp import numpy_interp
 
@@ -514,11 +536,8 @@ def main(argv=None) -> int:
 
             # benchmark the backend that was actually selected (ADVICE r1:
             # silently timing Pallas under --backend xla misreports)
-            if args.mesh or args.host_tile or args.backend == "numpy":
-                raise SystemExit(
-                    "--benchmark supports --backend pallas|xla (got "
-                    f"{'mesh' if args.mesh else 'host-tile' if args.host_tile else args.backend}); "
-                    "run the single-chip backend you want timed")
+            # flag-compat rejected up front (top of the run/benchmark
+            # block), before any execution
             from ..interp.wide64 import program_is_wide
 
             wide_bench = program_is_wide(program)

@@ -123,10 +123,16 @@ def choose_host_tiles(program: StencilProgram, grid_shape,
 
     rank = program.rank
     while footprint(tiles) > hbm_budget:
+        # prefer cutting leading dims (lane-dim tiles break streaming
+        # efficiency); the lane dim is the LAST resort, floored at 256
         cut = [i for i in range(rank - 1) if tiles[i] > 8] or (
-            [rank - 1] if rank == 1 and tiles[0] > 256 else [])
+            [rank - 1] if tiles[rank - 1] > 256 else [])
         if not cut:
-            break  # as small as sensible; caller sees the footprint
+            raise ValueError(
+                f"cannot tile grid {tuple(grid_shape)} under hbm budget "
+                f"{hbm_budget} bytes: minimum tile footprint is "
+                f"{footprint(tiles)} bytes (tiles {tuple(tiles)}); raise "
+                f"--hbm-budget or pass --host-tile explicitly")
         d = max(cut, key=lambda i: tiles[i])
         tiles[d] = -(-tiles[d] // 2)
     return tuple(tiles)
@@ -161,9 +167,17 @@ def run_host_tiled(program: StencilProgram, inputs, params=None, *,
             "drives the Pallas kernel path (pair carriers, <=64); run "
             "whole-grid with `--backend xla` (quad-limb carriers)")
     params = dict(params or {})
+    from ..backend.pallas import _check_io
+    _check_io(program, inputs, params)
     inputs = {k: np.asarray(v) for k, v in inputs.items()}
     if grid_shape is None:
         grid_shape = tuple(next(iter(inputs.values())).shape)
+    for n in program.input_names:
+        if tuple(inputs[n].shape) != tuple(grid_shape):
+            # _slice_zero_fill would silently zero-fill the mismatch
+            raise ValueError(
+                f"input {n!r} has shape {inputs[n].shape}, expected grid "
+                f"shape {tuple(grid_shape)}")
     tiles, halos, ext_shape, n_tiles, nf, passes, overhead = \
         plan_host_tiling(program, grid_shape, tiles, sweeps_per_pass,
                          iterate)
@@ -180,12 +194,15 @@ def run_host_tiled(program: StencilProgram, inputs, params=None, *,
     # planner's AUTO fused-sweep selection (build_fn treats an explicit
     # iterate as a full-fusion request); an explicit --sweeps becomes a
     # pre-made plan (build_fn cannot take both iterate and sweeps)
-    kernel_sweeps = plan_kwargs.pop("sweeps", None)
     it_arg = None if (iterate is None and nf == max(program.iterate, 1)) \
         else nf
+    if plan_kwargs.get("sweeps") is None:
+        plan_kwargs.pop("sweeps", None)
     if mesh is not None:
         # tiles run sharded over the mesh; the sharded fn owns its own
         # wide plane-pair boundary and pad-to-shard of the ext shape
+        # (planner knobs like `sweeps` don't apply — local plans are
+        # made per shard)
         from .mesh import build_sharded_fn
         fn = build_sharded_fn(
             program, mesh, dims=mesh_dims, iterate=nf,
@@ -195,13 +212,9 @@ def run_host_tiled(program: StencilProgram, inputs, params=None, *,
             link_classes=link_classes)
         if jit and not wide:
             fn = jax.jit(fn)
-    elif kernel_sweeps:
-        from ..plan.planner import plan as make_plan
-        the_plan = make_plan(program, ext_shape,
-                             sweeps=min(kernel_sweeps, nf), **plan_kwargs)
-        fn = pb.build_fn(program, the_plan=the_plan, iterate=it_arg,
-                         interpret=interpret, jit_per_group="auto")
     else:
+        # the planner snaps a requested `sweeps` (and its auto choice)
+        # to a divisor of the EFFECTIVE per-pass count via iterate=
         fn = pb.build_fn(program, grid_shape=ext_shape, iterate=it_arg,
                          interpret=interpret, jit_per_group="auto",
                          **plan_kwargs)

@@ -776,6 +776,7 @@ def plan(
     vmem_budget: int = 96 * 2**20,
     max_compute_waste: float = 3.0,
     sweeps: int | None = None,
+    iterate: int | None = None,
     block_override: tuple[int, ...] | None = None,
     updates_per_cell: int = 1,
     kernel_op_budget: float = KERNEL_OP_BUDGET,
@@ -795,7 +796,13 @@ def plan(
             f"grid rank {len(grid_shape)} != program rank {program.rank}")
     notes: list[str] = []
     stages = program.stage_order()
-    it = max(program.iterate, 1)
+    # `iterate` overrides the DSL count (run(iterate=...), mesh exchange
+    # chunks, host-tile passes).  Every divisor adjustment below MUST
+    # target this EFFECTIVE count: fused sweeps that divide the DSL
+    # count but not the executed count make build_fn's chunk loop
+    # silently under-execute (review r5 — reproduced: iterate=12,
+    # override 6, plan sweeps 4 -> 1 chunk of 4 sweeps claimed as 6).
+    it = max(program.iterate if iterate is None else iterate, 1)
     from ..interp.wide64 import program_is_wide
 
     wide = program_is_wide(program)

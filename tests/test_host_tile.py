@@ -18,47 +18,19 @@ from soda_tpu.parallel.host_tile import (
     plan_host_tiling,
     run_host_tiled,
 )
+from soda_tpu.utils.testing import assert_outputs_match, rand_inputs
 
 SODA = pathlib.Path(__file__).parent / "soda"
 rng = np.random.default_rng(7)
 
 
 def _inputs(p, gs):
-    ins = {}
-    for n in p.input_names:
-        t = p.tensors[n].type
-        if t.is_float:
-            ins[n] = rng.standard_normal(gs).astype(t.np_dtype())
-        elif t.kind == "int":
-            hi = 1 << (40 if t.width > 32 else min(t.width - 1, 12))
-            ins[n] = rng.integers(-hi, hi, gs).astype(t.np_dtype())
-        else:
-            hi = 1 << (40 if t.width > 32 else min(t.width, 12))
-            ins[n] = rng.integers(0, hi, gs).astype(t.np_dtype())
-    ps = {q.name: rng.standard_normal(q.shape).astype(q.type.np_dtype())
-          for q in p.params.values()}
-    return ins, ps
+    # shared with the hardware gate — one definition of distributions
+    return rand_inputs(p, gs, rng)
 
 
 def _check(p, got, gold, rim=None):
-    rim = p.valid_rim() if rim is None else rim
-    for k in gold:
-        t = p.tensors[k].type
-        a, b = np.asarray(got[k]), np.asarray(gold[k])
-        if rim:
-            sl = tuple(slice(rim, -rim) for _ in range(a.ndim))
-            a, b = a[sl], b[sl]
-        assert a.size, f"no interior left for {k} at rim {rim}"
-        if not t.is_float:
-            assert np.array_equal(a, b), (
-                f"{k}: max diff "
-                f"{np.abs(a.astype(np.float64) - b.astype(np.float64)).max()}")
-        else:
-            tol = 2e-2 if t.width == 16 else 1e-4
-            assert np.allclose(a.astype(np.float64), b.astype(np.float64),
-                               rtol=tol, atol=tol), (
-                f"{k}: max diff "
-                f"{np.abs(a.astype(np.float64) - b.astype(np.float64)).max()}")
+    assert_outputs_match(p, got, gold, rim)
 
 
 CASES = [
@@ -180,3 +152,30 @@ def test_host_tile_over_mesh_wide():
                          interpret=True)
     gold = numpy_interp.run(p, ins, ps)
     _check(p, got, gold)
+
+
+def test_kernel_sweeps_not_dividing_pass_is_snapped():
+    """Review r5 (confirmed bug): a requested kernel sweep depth that
+    does not divide sweeps_per_pass used to silently under-execute
+    (iterate=12, spp=6, sweeps=4 -> 2 passes x 4 sweeps = 8 of 12).
+    The planner now snaps the request to a divisor of the EFFECTIVE
+    per-pass count (plan(iterate=...)); results must match the oracle."""
+    p = parse_file(SODA / "jacobi2d.soda")
+    gs = (48, 160)
+    ins, ps = _inputs(p, gs)
+    gold = numpy_interp.run(p, ins, ps, iterate=12)
+    got = run_host_tiled(p, ins, ps, tiles=(24, 80), iterate=12,
+                         sweeps_per_pass=6, sweeps=4, interpret=True)
+    _check(p, got, gold, rim=p.valid_rim(iterate=12))
+
+
+def test_build_fn_rejects_non_divisor_plan():
+    """A caller-provided plan whose kernel depth does not divide the
+    executed iterate raises instead of silently under-executing."""
+    from soda_tpu.backend import pallas as pb
+    from soda_tpu.plan.planner import plan as make_plan
+
+    p = parse_file(SODA / "jacobi2d.soda")
+    pl = make_plan(p, (48, 160), sweeps=4)  # 4 divides DSL iterate 8
+    with pytest.raises(ValueError, match="does not divide"):
+        pb.build_fn(p, the_plan=pl, iterate=6, interpret=True)
