@@ -342,6 +342,20 @@ def main(argv=None) -> int:
             program, grid_shape, vmem_budget=args.vmem_budget,
             sweeps=args.sweeps, block_override=args.block,
             updates_per_cell=updates_per_cell)
+        # whole-grid footprint sanity: inputs + outputs + a working copy
+        # vs the device budget — a grid that cannot fit HBM should point
+        # at the host-tiling path instead of OOMing at runtime
+        import math as _math
+        cells = _math.prod(grid_shape)
+        foot = 2 * cells * sum(
+            program.tensors[n].type.tpu_storage_bytes
+            for n in program.input_names + program.output_names)
+        if foot > args.hbm_budget and not args.mesh:
+            logger.warning(
+                "grid %s needs ~%.1f GiB of HBM (budget %.1f GiB): a "
+                "single-chip run will likely OOM — use --host-tile auto "
+                "(sequential overlapping tiles) or --mesh",
+                grid_shape, foot / 2**30, args.hbm_budget / 2**30)
     logger.info("%s", the_plan.describe())
 
     did_something = False
