@@ -204,8 +204,12 @@ def _overrides(args) -> dict:
 def _host_tiles(program, grid_shape, args) -> tuple[int, ...]:
     from ..parallel.host_tile import choose_host_tiles, normalize_tiles
     if args.host_tile == "auto":
+        # under --mesh each tile runs sharded, so the HBM budget is per
+        # DEVICE: size tiles to the per-shard footprint (mesh-size× larger)
+        mesh_shape = _parse_mesh(args.mesh)[0] if args.mesh else None
         tiles = choose_host_tiles(program, grid_shape, args.hbm_budget,
-                                  args.host_tile_sweeps)
+                                  args.host_tile_sweeps,
+                                  mesh_shape=mesh_shape)
         logger.info("--host-tile auto -> %s", "x".join(map(str, tiles)))
         return tiles
     return normalize_tiles(grid_shape, _parse_int_list(args.host_tile))
@@ -395,6 +399,24 @@ def main(argv=None) -> int:
                   f"sweep(s); read amplification {ov:.3f}x per pass "
                   f"(halo recompute, as in the reference host); kernel "
                   f"analysis above is PER TILE at the extended shape")
+            if args.mesh:
+                from ..parallel.host_tile import model_mesh_exchange
+                sizes, _names, _links = _parse_mesh(args.mesh)
+                xbytes, shard = model_mesh_exchange(
+                    program, ext, sizes, None, nf)
+                import math as _m
+                hbm_per_dev = _m.prod(ext) * sum(
+                    program.tensors[n].type.tpu_storage_bytes
+                    for n in program.input_names) / _m.prod(sizes)
+                xh = (f"{xbytes / 2**20:.1f} MiB" if xbytes >= 2**20
+                      else f"{xbytes / 2**10:.1f} KiB")
+                print(f"  mesh per tile: shards of "
+                      f"{'x'.join(map(str, shard))} over "
+                      f"{'x'.join(map(str, sizes))} devices; modeled ICI "
+                      f"halo exchange {xh}/device/pass "
+                      f"({xbytes / max(hbm_per_dev, 1) * 100:.2f}% of the "
+                      f"shard's state bytes; cadence-invariant total — "
+                      f"see parallel/host_tile.model_mesh_exchange)")
 
     if args.cpp_golden or args.xocl_kernel or args.xocl_host:
         did_something = True

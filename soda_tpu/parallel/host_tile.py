@@ -99,20 +99,69 @@ def plan_host_tiling(program: StencilProgram, grid_shape, tiles,
     return tiles, halos, ext_shape, n_tiles, nf, it // nf, overhead
 
 
+def _shard_ext_shape(program: StencilProgram, ext_shape, mesh_shape,
+                     mesh_dims, nf: int) -> tuple[int, ...]:
+    """Per-DEVICE tensor shape when a (halo-extended) host tile of
+    `ext_shape` is sharded over a mesh of `mesh_shape` along `mesh_dims`
+    (default: leading dims, matching mesh.build_sharded_fn): each sharded
+    dim becomes ceil(ext/m) plus the mesh exchange halo, bounded above by
+    chain-creep × nf (the auto cadence only ever shrinks it)."""
+    if mesh_dims is None:
+        mesh_dims = tuple(range(len(mesh_shape)))
+    creep = program.chain_creep()
+    shard = list(ext_shape)
+    for m, d in zip(mesh_shape, mesh_dims):
+        lo, hi = -creep[d][0] * nf, creep[d][1] * nf
+        shard[d] = -(-ext_shape[d] // int(m)) + lo + hi
+    return tuple(shard)
+
+
+def model_mesh_exchange(program: StencilProgram, ext_shape, mesh_shape,
+                        mesh_dims, nf: int):
+    """Modeled ICI halo-exchange traffic for ONE mesh-sharded host tile
+    over one pass of `nf` sweeps: per device, each sharded axis moves
+    creep-deep halo slabs totalling nf × r cells per side regardless of
+    the exchange cadence (cadence k moves k·r-deep halos nf/k times —
+    the product is cadence-invariant; only the latency count differs).
+    Returns (per_device_bytes, shard_shape).  Exchanged payload = the
+    live state, i.e. the program inputs at their TPU storage widths
+    (wide tensors ride as two 32-bit planes = 8 B/cell)."""
+    if mesh_dims is None:
+        mesh_dims = tuple(range(len(mesh_shape)))
+    shard = _shard_ext_shape(program, ext_shape, mesh_shape, mesh_dims, nf)
+    creep = program.chain_creep()
+    state_bytes = sum(program.tensors[n].type.tpu_storage_bytes
+                     for n in program.input_names)
+    per_dev = 0
+    for m, d in zip(mesh_shape, mesh_dims):
+        if int(m) <= 1:
+            continue
+        r = max(-creep[d][0], creep[d][1])
+        cross = math.prod(shard) // shard[d]
+        per_dev += 2 * nf * r * cross * state_bytes
+    return per_dev, shard
+
+
 def choose_host_tiles(program: StencilProgram, grid_shape,
                       hbm_budget: int, sweeps_per_pass: int | None = None,
-                      iterate: int | None = None) -> tuple[int, ...]:
+                      iterate: int | None = None, mesh_shape=None,
+                      mesh_dims=None) -> tuple[int, ...]:
     """Pick a tile shape whose device footprint fits `hbm_budget` bytes:
     repeatedly halve the largest leading (non-lane) dim until the
     estimated per-tile HBM footprint fits.  Footprint = every program
     tensor at the halo-extended tile shape × 2 (double-buffered feedback
     copies; wide tensors count their two 32-bit planes via the 8 B/cell
-    container)."""
+    container).  With `mesh_shape` (the tile runs sharded — run_host_tiled
+    mesh composition), the budget is PER DEVICE: the footprint is taken at
+    the per-shard shape including mesh exchange halos, so a whole-pod run
+    auto-picks tiles mesh-size× larger than a single chip would."""
     tiles = list(normalize_tiles(grid_shape, (0,) * len(grid_shape)))
 
     def footprint(ts) -> int:
-        _, _, ext, _, _, _, _ = plan_host_tiling(
+        _, _, ext, _, nf, _, _ = plan_host_tiling(
             program, grid_shape, ts, sweeps_per_pass, iterate)
+        if mesh_shape:
+            ext = _shard_ext_shape(program, ext, mesh_shape, mesh_dims, nf)
         cells = math.prod(ext)
         per_cell = 0
         for t in program.tensors.values():

@@ -171,6 +171,18 @@ def test_host_tile_run_and_report(capsys):
     assert "PASS" in out
 
 
+def test_host_tile_mesh_report(capsys):
+    # report-only (no run): the mesh-composed tile line models the ICI
+    # exchange traffic and the per-shard shape
+    rc = main([str(SODA / "jacobi2d.soda"), "--grid-shape", "60,180",
+               "--host-tile", "40,64", "--mesh", "2", "--report"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "mesh per tile: shards of" in out
+    assert "ICI halo exchange" in out
+    assert "/device/pass" in out  # KiB at this tile size, MiB at scale
+
+
 def test_host_tile_auto(capsys):
     # budget small enough to force tiling of the 64-row dim
     rc = main([str(SODA / "blur.soda"), "--grid-shape", "64,128",

@@ -115,6 +115,30 @@ def test_choose_host_tiles_fits_budget():
         (128, 128, 128)
 
 
+def test_choose_host_tiles_mesh_aware():
+    """Under mesh composition the budget is per DEVICE: an 8-device mesh
+    must admit tiles ~8x larger than the single-chip chooser picks."""
+    from soda_tpu.parallel.host_tile import model_mesh_exchange
+    p = parse_file(SODA / "jacobi3d.soda")
+    gs = (2048, 2048, 2048)
+    solo = choose_host_tiles(p, gs, 12 * 2**30)
+    meshed = choose_host_tiles(p, gs, 12 * 2**30, mesh_shape=(4, 2))
+    assert np.prod(meshed) > np.prod(solo)  # budget divided over devices
+    # per-shard footprint (incl. mesh halos) fits the per-device budget
+    _, _, ext, _, nf, _, _ = plan_host_tiling(p, gs, meshed)
+    xbytes, shard = model_mesh_exchange(p, ext, (4, 2), None, nf)
+    assert int(np.prod(shard)) * 4 * 2 * 2 <= 12 * 2**30
+    # exchange model: both sharded axes move 2 sides x nf x r x cross
+    creep = p.chain_creep()
+    want = 0
+    for m, d in ((4, 0), (2, 1)):
+        r = max(-creep[d][0], creep[d][1])
+        want += 2 * nf * r * (np.prod(shard) // shard[d]) * 4
+    assert xbytes == want
+    # mesh axes of size 1 exchange nothing
+    assert model_mesh_exchange(p, ext, (1, 1), None, nf)[0] == 0
+
+
 def test_normalize_tiles_validation():
     assert normalize_tiles((64, 256), (0, 300)) == (64, 256)
     with pytest.raises(ValueError):
