@@ -134,13 +134,15 @@ def make_parser() -> argparse.ArgumentParser:
                          "path (the reference host's sequential tiling); "
                          "'auto' picks tiles fitting --hbm-budget. "
                          "0 = full extent along a dim")
-    ap.add_argument("--host-tile-sweeps", type=int, default=None,
-                    metavar="K",
+    ap.add_argument("--host-tile-sweeps", type=str, default=None,
+                    metavar="K|auto",
                     help="sweeps per host-tiling pass (must divide "
                          "iterate; default: all in one pass). K=1 is "
                          "bit-exact vs the oracle on the whole grid; "
                          "deeper K deviates only in the border-invalid "
-                         "rim, like --sweeps-per-exchange")
+                         "rim, like --sweeps-per-exchange. 'auto' picks "
+                         "the K minimizing modeled streamed traffic "
+                         "(passes x halo-extended tile reads)")
     ap.add_argument("--hbm-budget", type=int, default=12 * 2**30,
                     help="device HBM budget (bytes) for --host-tile auto "
                          "(default 12 GiB: a v5e's 16 GiB minus runtime "
@@ -327,6 +329,23 @@ def main(argv=None) -> int:
 
     host_tiling = None
     if args.host_tile:
+        # resolve --host-tile-sweeps before anything consumes it as an int
+        if args.host_tile_sweeps == "auto":
+            from ..parallel.host_tile import (choose_sweeps_per_pass,
+                                              normalize_tiles)
+            mesh_shape = _parse_mesh(args.mesh)[0] if args.mesh else None
+            tiles_arg = (None if args.host_tile == "auto" else
+                         normalize_tiles(grid_shape,
+                                         _parse_int_list(args.host_tile)))
+            nf, ts = choose_sweeps_per_pass(
+                program, grid_shape, tiles_arg, args.hbm_budget,
+                mesh_shape=mesh_shape)
+            args.host_tile_sweeps = nf
+            if args.host_tile == "auto":
+                # keep the jointly-chosen tiles (scored WITH this nf)
+                args.host_tile = ",".join(map(str, ts))
+        elif args.host_tile_sweeps is not None:
+            args.host_tile_sweeps = int(args.host_tile_sweeps)
         # plan (and report) the PER-TILE kernel at the halo-extended
         # tile shape — the full-grid plan would describe an execution
         # that never runs (and may not even fit HBM, which is the point

@@ -142,6 +142,45 @@ def model_mesh_exchange(program: StencilProgram, ext_shape, mesh_shape,
     return per_dev, shard
 
 
+def choose_sweeps_per_pass(program: StencilProgram, grid_shape,
+                           tiles=None, hbm_budget: int | None = None,
+                           iterate: int | None = None, mesh_shape=None,
+                           mesh_dims=None):
+    """Pick `sweeps_per_pass` minimizing modeled streamed traffic — the
+    host-tiling analog of the mesh's `choose_exchange_cadence`: each pass
+    streams every (halo-extended) tile through PCIe+HBM once, and halos
+    grow with chain-creep × nf, so small nf pays more passes while large
+    nf pays halo recompute (and can outgrow the tile).  Scores every
+    divisor nf of iterate by passes × Σ_tiles prod(ext); ties prefer the
+    DEEPER nf (fewer passes, less dispatch latency).  With tiles=None
+    ('--host-tile auto'), tiles are re-chosen per candidate under
+    `hbm_budget` so each nf is scored at the tiles it would actually run.
+    Returns (nf, tiles)."""
+    it = max(program.iterate if iterate is None else iterate, 1)
+    divisors = [k for k in range(1, it + 1) if it % k == 0]
+    best = None  # (cost, -nf, nf, tiles)
+    for nf in divisors:
+        try:
+            ts = tiles if tiles is not None else choose_host_tiles(
+                program, grid_shape, hbm_budget, nf, iterate,
+                mesh_shape, mesh_dims)
+            _, _, ext, nt, _, passes, _ = plan_host_tiling(
+                program, grid_shape, ts, nf, iterate)
+        except ValueError:
+            continue  # nf's halos don't fit any admissible tile
+        cost = passes * math.prod(nt) * math.prod(ext)
+        key = (cost, -nf)
+        if best is None or key < best[0]:
+            best = (key, nf, ts)
+    if best is None:
+        raise ValueError(
+            f"no sweeps_per_pass admits a tile of grid "
+            f"{tuple(grid_shape)} under the budget; raise --hbm-budget")
+    logger.info("--host-tile-sweeps auto -> %d (of iterate %d)",
+                best[1], it)
+    return best[1], best[2]
+
+
 def choose_host_tiles(program: StencilProgram, grid_shape,
                       hbm_budget: int, sweeps_per_pass: int | None = None,
                       iterate: int | None = None, mesh_shape=None,

@@ -183,6 +183,19 @@ def test_host_tile_mesh_report(capsys):
     assert "/device/pass" in out  # KiB at this tile size, MiB at scale
 
 
+def test_host_tile_sweeps_auto(capsys):
+    # 'auto' cadence resolves to a divisor of iterate and still passes
+    # the oracle; joint with auto tiles
+    rc = main([str(SODA / "jacobi2d.soda"), "--grid-shape", "48,256",
+               "--host-tile", "auto", "--hbm-budget", str(600 * 2**10),
+               "--host-tile-sweeps", "auto", "--interpret", "--run",
+               "--report"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "host tiling:" in out
+    assert "PASS" in out
+
+
 def test_host_tile_auto(capsys):
     # budget small enough to force tiling of the 64-row dim
     rc = main([str(SODA / "blur.soda"), "--grid-shape", "64,128",

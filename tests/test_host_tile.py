@@ -139,6 +139,28 @@ def test_choose_host_tiles_mesh_aware():
     assert model_mesh_exchange(p, ext, (1, 1), None, nf)[0] == 0
 
 
+def test_choose_sweeps_per_pass():
+    """Auto cadence scores every divisor of iterate by streamed traffic:
+    untiled grids take one deep pass; tiny tiles with deep halos prefer
+    shallower passes once halo recompute dominates the extra streaming."""
+    from soda_tpu.parallel.host_tile import choose_sweeps_per_pass
+    p = parse_file(SODA / "jacobi2d.soda")  # iterate=8, creep r=1
+    # untiled: halos are free, so all-in-one-pass wins
+    nf, ts = choose_sweeps_per_pass(p, (64, 256), tiles=(64, 256))
+    assert (nf, ts) == (8, (64, 256))
+    # ONE tiled dim: cost = it·t/nf + const, so deep still wins
+    assert choose_sweeps_per_pass(p, (64, 256), tiles=(8, 256))[0] == 8
+    # TWO tiled dims: ext grows ~nf² so the interior nf=4 beats both
+    # nf=1 (8 passes x 100-cell ext) and nf=8 (1 pass x 576-cell ext):
+    # (8/nf)·(8+2nf)² = 800, 576, 512, 576 for nf = 1, 2, 4, 8
+    assert choose_sweeps_per_pass(p, (64, 64), tiles=(8, 8))[0] == 4
+    # joint mode (tiles=None): tiles come back sized for the chosen nf
+    nf3, ts3 = choose_sweeps_per_pass(p, (64, 256), tiles=None,
+                                      hbm_budget=64 * 2**10)
+    _, _, ext3, _, _, _, _ = plan_host_tiling(p, (64, 256), ts3, nf3)
+    assert int(np.prod(ext3)) * 4 * 2 * 2 <= 64 * 2**10
+
+
 def test_normalize_tiles_validation():
     assert normalize_tiles((64, 256), (0, 300)) == (64, 256)
     with pytest.raises(ValueError):
