@@ -40,6 +40,14 @@ CONFIGS = [
     ("reaction_f64", (2048, 2048), None),      # DS-accurate exp in-kernel
 ]
 
+HOST_TILED = [
+    # grids LARGER than one chip's HBM: auto tiles + auto pass cadence
+    # (program, grid shape, device hbm budget)
+    ("jacobi3d", (2048, 2048, 2048), 12 * 2**30),   # 32 GiB of f32 arrays
+    ("jacobi2d", (16384, 16384), 256 * 2**20),      # iterate 8, tiny budget
+    ("poisson_f64", (8192, 8192), 512 * 2**20),     # wide pair tiles
+]
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -117,6 +125,33 @@ def main() -> int:
             updates = math.prod(shape) * max(program.iterate, 1)
             line += f"  wall {updates/dt/1e9:>8.1f} G/s"
         print(line)
+
+    # oversize grids through host tiling: effective per-update traffic =
+    # per-tile plan traffic x halo-recompute amplification (the whole
+    # grid streams through PCIe+HBM once per pass — reference host loop)
+    from soda_tpu.parallel.host_tile import (choose_sweeps_per_pass,
+                                             plan_host_tiling)
+    print()
+    hdr2 = (f"{'host-tiled':<12} {'grid':<16} {'tiles':<15} "
+            f"{'nf':>3} {'pass':>4} {'amp':>6} {'eff B/upd':>9} "
+            f"{'%roof':>6}")
+    print(hdr2)
+    print("-" * len(hdr2))
+    for name, shape, budget in HOST_TILED:
+        program = parse_file(here / f"{name}.soda")
+        nf, tiles = choose_sweeps_per_pass(program, shape, tiles=None,
+                                           hbm_budget=budget)
+        _, _, ext, nt, _, passes, amp = plan_host_tiling(
+            program, shape, tiles, nf)
+        it = max(program.iterate, 1)
+        pl = make_plan(program, ext,
+                       iterate=None if nf == it else nf)
+        rep = analyze(pl, program=program)
+        eff = rep.bytes_per_cell_update * amp
+        print(f"{name:<12} {'x'.join(map(str, shape)):<16} "
+              f"{'x'.join(map(str, tiles)):<15} {nf:>3} {passes:>4} "
+              f"{amp:>5.2f}x {eff:>9.2f} "
+              f"{100*rep.roofline_fraction/amp:>5.0f}%")
     return 0
 
 
