@@ -412,12 +412,16 @@ def main(argv=None) -> int:
             print(f"  accepted-inert: {line}")
         if host_tiling is not None:
             tiles, halos, ext, nt, nf, passes, ov = host_tiling
+            rep = analyze(the_plan, program=program)
             print(f"  host tiling: {'x'.join(map(str, nt))} tiles of "
                   f"{'x'.join(map(str, tiles))} (+halo -> "
                   f"{'x'.join(map(str, ext))}), {passes} pass(es) x {nf} "
                   f"sweep(s); read amplification {ov:.3f}x per pass "
                   f"(halo recompute, as in the reference host); kernel "
-                  f"analysis above is PER TILE at the extended shape")
+                  f"analysis above is PER TILE at the extended shape; "
+                  f"effective {rep.bytes_per_cell_update * ov:.2f} "
+                  f"B/cell-update = per-tile x amplification "
+                  f"({100 * rep.roofline_fraction / ov:.0f}% of roofline)")
             if args.mesh:
                 from ..parallel.host_tile import model_mesh_exchange
                 sizes, _names, _links = _parse_mesh(args.mesh)
