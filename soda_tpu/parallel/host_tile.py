@@ -158,6 +158,10 @@ def choose_sweeps_per_pass(program: StencilProgram, grid_shape,
     Returns (nf, tiles)."""
     it = max(program.iterate if iterate is None else iterate, 1)
     divisors = [k for k in range(1, it + 1) if it % k == 0]
+    in_b = sum(program.tensors[n].type.tpu_storage_bytes
+               for n in program.input_names)
+    out_b = sum(program.tensors[n].type.tpu_storage_bytes
+                for n in program.output_names)
     best = None  # (cost, -nf, nf, tiles)
     for nf in divisors:
         try:
@@ -168,7 +172,11 @@ def choose_sweeps_per_pass(program: StencilProgram, grid_shape,
                 program, grid_shape, ts, nf, iterate)
         except ValueError:
             continue  # nf's halos don't fit any admissible tile
-        cost = passes * math.prod(nt) * math.prod(ext)
+        # per pass: every tile streams its halo-extended inputs H2D and
+        # its stitched interior (the whole grid) back D2H — both scale
+        # with the pass count, so the write term matters too
+        cost = passes * (math.prod(nt) * math.prod(ext) * in_b
+                         + math.prod(grid_shape) * out_b)
         key = (cost, -nf)
         if best is None or key < best[0]:
             best = (key, nf, ts)

@@ -148,12 +148,13 @@ def test_choose_sweeps_per_pass():
     # untiled: halos are free, so all-in-one-pass wins
     nf, ts = choose_sweeps_per_pass(p, (64, 256), tiles=(64, 256))
     assert (nf, ts) == (8, (64, 256))
-    # ONE tiled dim: cost = it·t/nf + const, so deep still wins
+    # ONE tiled dim: read cost = it·t/nf + const, so deep still wins
     assert choose_sweeps_per_pass(p, (64, 256), tiles=(8, 256))[0] == 8
-    # TWO tiled dims: ext grows ~nf² so the interior nf=4 beats both
-    # nf=1 (8 passes x 100-cell ext) and nf=8 (1 pass x 576-cell ext):
-    # (8/nf)·(8+2nf)² = 800, 576, 512, 576 for nf = 1, 2, 4, 8
-    assert choose_sweeps_per_pass(p, (64, 64), tiles=(8, 8))[0] == 4
+    # TWO tiled dims, halo-dominated 4x4 tiles of 64x64: reads grow
+    # ~nf², writes are grid-constant per pass.  Per-nf cost
+    # (8/nf)·(256·(4+2nf)² + 4096) = 106496, 81920, 81920, 106496 for
+    # nf = 1, 2, 4, 8 — interior optimum, tie broken toward deeper
+    assert choose_sweeps_per_pass(p, (64, 64), tiles=(4, 4))[0] == 4
     # joint mode (tiles=None): tiles come back sized for the chosen nf
     nf3, ts3 = choose_sweeps_per_pass(p, (64, 256), tiles=None,
                                       hbm_budget=64 * 2**10)
