@@ -117,10 +117,17 @@ def run_host_tile_gate(rng) -> int:
         ("jacobi3d", (512, 512, 512), (256, 256, 512), None),
         ("jacobi2d", (2048, 2048), (1024, 1024), None),   # trapezoid tiles
         ("accum64", (1024, 2048), (512, 1024), None),     # wide pair tiles
+        ("jacobi2d", (2048, 2048), "auto", "auto"),       # joint auto chooser
     ]
     failures = 0
     for name, shape, tiles, spp in cases:
         p = parse_file(SODA / f"{name}.soda")
+        if tiles == "auto":
+            # joint auto tiles + pass cadence under a budget tight
+            # enough (32 MiB) to force genuine tiling at this size
+            from soda_tpu.parallel.host_tile import choose_sweeps_per_pass
+            spp, tiles = choose_sweeps_per_pass(
+                p, shape, tiles=None, hbm_budget=32 * 2**20)
         label = f"{name} {'x'.join(map(str, shape))} host-tiled " \
                 f"{'x'.join(map(str, tiles))}"
         ins, ps = _rand_inputs(p, shape, rng)
