@@ -185,6 +185,22 @@ def main() -> int:
                                                     (256, 256, 256)),
     }
 
+    # oversize-grid path: jacobi3d at 2048^3 (32 GiB of arrays — beyond
+    # one chip's HBM) through auto host tiles + auto pass cadence;
+    # effective roofline = per-tile fraction ÷ halo-recompute
+    # amplification (parallel/host_tile.py, the reference host's loop)
+    from soda_tpu.parallel.host_tile import (choose_sweeps_per_pass,
+                                             plan_host_tiling)
+    pp = parse_file(here / "tests" / "soda" / "jacobi3d.soda")
+    ht_shape = (2048, 2048, 2048)
+    ht_nf, ht_tiles = choose_sweeps_per_pass(pp, ht_shape, tiles=None,
+                                             hbm_budget=12 * 2**30)
+    _, _, ht_ext, _, _, _, ht_amp = plan_host_tiling(
+        pp, ht_shape, ht_tiles, ht_nf)
+    ht_rep = report_mod.analyze(planner_mod.plan(pp, ht_ext), program=pp)
+    secondary["jacobi3d_2048cubed_host_tiled_eff_roofline_pct"] = round(
+        100.0 * ht_rep.roofline_fraction / ht_amp, 1)
+
     print(json.dumps({
         **headline,
         "pallas_compile_checked": True,
