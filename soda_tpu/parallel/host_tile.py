@@ -156,6 +156,10 @@ def choose_sweeps_per_pass(program: StencilProgram, grid_shape,
     ('--host-tile auto'), tiles are re-chosen per candidate under
     `hbm_budget` so each nf is scored at the tiles it would actually run.
     Returns (nf, tiles)."""
+    if tiles is None and hbm_budget is None:
+        raise ValueError(
+            "choose_sweeps_per_pass needs explicit tiles or an "
+            "hbm_budget to choose them under")
     it = max(program.iterate if iterate is None else iterate, 1)
     divisors = [k for k in range(1, it + 1) if it % k == 0]
     in_b = sum(program.tensors[n].type.tpu_storage_bytes
